@@ -1,0 +1,141 @@
+"""Immutable configuration for the pipeline.
+
+Replaces the reference's mutable module-global config (reference
+config.py:8-20, mutated at startup by run_hyperopt.py:16,25-26,37-39) with
+frozen dataclasses that are constructed once and threaded explicitly.
+``DatasetInfo`` carries what the reference stored in ``config.NUM_CLASSES /
+CLASS_NAMES / CLASS_WEIGHTS``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+# ImageNet normalization constants (reference functions/dataload.py:13-16).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+IMAGE_SIZE = 224  # training/eval resolution (reference dataload.py:23 etc.)
+EVAL_RESIZE = 256  # eval path Resize(256,256) (reference dataload.py:52-56)
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetInfo:
+    """Class inventory derived from shards.
+
+    ``class_names`` are ordered by descending frequency — this ordering IS
+    the label<->index mapping (reference functions/utility.py:96-106) and
+    must be reproduced exactly for output fidelity.  ``class_weights`` are
+    inverse-frequency ``n / (k * freq)`` (reference utility.py:107-116).
+    """
+
+    num_classes: int
+    class_names: tuple
+    class_weights: tuple  # float per class, aligned with class_names
+    class_counts: tuple  # int per class
+    total_samples: int
+
+    @property
+    def name_to_index(self) -> Mapping[str, int]:
+        return {n: i for i, n in enumerate(self.class_names)}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Shard paths + input pipeline settings."""
+
+    train_shards: tuple = ()
+    test_shards: tuple = ()
+    image_size: int = IMAGE_SIZE
+    eval_resize: int = EVAL_RESIZE
+    shuffle_buffer: int = 1000  # reference hyperopt.py:128 .shuffle(1000)
+    samples_per_shard: int = 1000  # reference data_curation.py:973-976
+    mean: tuple = IMAGENET_MEAN
+    std: tuple = IMAGENET_STD
+    # 'hbm' keeps the decoded dataset resident in device memory (TPU-native
+    # fast path for datasets that fit); 'stream' double-buffers host->device.
+    placement: str = "hbm"
+    cache_dir: str | None = None  # decoded uint8 cache (memmap) location
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Flax ResNet + MLP-head classifier.
+
+    Mirrors the reference AnimalClassifier (reference functions/model.py:9-41):
+    ResNet50 backbone frozen except ``layer4`` (model.py:17-23), fc replaced
+    by a Dropout->Linear(2048,512)->ReLU->Dropout->Linear(512,num_classes)
+    head (model.py:30-36).
+    """
+
+    depth: int = 50  # 18/34/50/101/152
+    num_classes: int = 10
+    hidden_dim: int = 512
+    dropout_rate: float = 0.3
+    trainable_stages: tuple = ("layer4",)  # frozen backbone except these
+    head_only: bool = False  # freeze everything but the head
+    # 'all' updates BN running stats in frozen stages too (matches PyTorch
+    # .train() semantics on frozen layers — reference model.py:17-23 freezes
+    # params but BN stats still update); 'trainable_only' freezes stats of
+    # frozen stages.
+    bn_stats_mode: str = "all"
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay f32
+    pretrained_path: str | None = None  # torch state_dict .pth to convert
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (reference model.py:45-60, train.py:111-189)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    batch_size: int = 32
+    max_epochs: int = 15
+    patience: int = 4
+    aug_intensity: str = "medium"  # low | medium | high (dataload.py:11-58)
+    # Subsampled epochs during hyperopt (reference train.py:19,73).
+    train_samples_per_epoch: int | None = 1024
+    eval_samples: int | None = 512
+    # OneCycle steps_per_epoch hardcode (reference train.py:114 vs
+    # final.py:267 use different values; we compute from the real epoch
+    # length unless this override is set).
+    steps_per_epoch_override: int | None = None
+    scheduler_step: str = "batch"  # 'batch' (train.py:42) | 'epoch' (final.py:330)
+    seed: int = 42
+    label_smoothing: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for jit/shard_map parallelism.
+
+    The reference is single-device (SURVEY §2: no torch.distributed anywhere);
+    here data parallelism over ICI is first-class, with optional tensor
+    parallelism for the MLP head.
+    """
+
+    data: int = -1  # -1: use all devices on the data axis
+    model: int = 1
+
+    def axis_sizes(self, n_devices: int) -> tuple:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        return (data, model)
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperoptConfig:
+    """Study settings (reference run_hyperopt.py:44-50, hyperopt.py:386-447)."""
+
+    n_trials: int = 200
+    k_folds: int = 3
+    first_fold_min_acc: float = 95.0  # tier-2 pruning floor (hyperopt.py:236-247)
+    median_startup_trials: int = 20  # MedianPruner(20, 10, 1) (hyperopt.py:434-438)
+    median_warmup_steps: int = 10
+    progressive_min_trials: int = 20  # tier-3 (hyperopt.py:285-307)
+    progressive_factor: float = 0.85
+    confidence: float = 0.80  # t-dist lower bound (hyperopt.py:361-370)
+    storage: str = "optuna_animals10_kfold.db"
+    study_name: str = "animals10_kfold"
+    seed: int = 42

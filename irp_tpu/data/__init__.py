@@ -1,0 +1,5 @@
+"""Data plane: tar shard IO, curation, analysis, folds, device pipeline."""
+
+from irp_tpu.data.tar import ShardWriter, iter_samples, iter_shard  # noqa: F401
+from irp_tpu.data.analyze import analyze_webdataset  # noqa: F401
+from irp_tpu.data.kfold import create_stratified_kfolds  # noqa: F401

@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars BEFORE jax is imported anywhere (SURVEY §4: multi-device
+tests simulate the v5e-8 slice with xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_shards(tmp_path_factory):
+    """A small synthetic Animals-10-like shard set (2 classes x N images)."""
+    from tests.synth import make_synthetic_shards
+
+    root = tmp_path_factory.mktemp("shards")
+    return make_synthetic_shards(str(root), num_classes=4, per_class=30,
+                                 samples_per_shard=25, seed=0)

@@ -1,0 +1,106 @@
+"""Data plane tests: tar IO round-trip, analyzer, k-fold splitter."""
+
+import collections
+import json
+import tarfile
+
+import numpy as np
+import pytest
+
+from irp_tpu.data.tar import ShardWriter, TarWriter, iter_samples, iter_shard
+from irp_tpu.data.analyze import analyze_webdataset
+from irp_tpu.data.kfold import create_stratified_kfolds, shard_class_histogram
+
+
+def test_tar_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tar")
+    with TarWriter(path) as w:
+        w.write({"__key__": "cat_000001", "jpg": b"\xff\xd8JPEGDATA",
+                 "cls": "cat", "json": {"class": "cat", "id": "cat_000001"}})
+        w.write({"__key__": "dog_000002", "jpg": b"\xff\xd8OTHER",
+                 "cls": "dog", "json": {"class": "dog", "id": "dog_000002"}})
+    samples = list(iter_shard(path))
+    assert len(samples) == 2
+    assert samples[0]["__key__"] == "cat_000001"
+    assert samples[0]["jpg"] == b"\xff\xd8JPEGDATA"
+    assert samples[0]["cls"] == b"cat"
+    assert json.loads(samples[1]["json"]) == {"class": "dog", "id": "dog_000002"}
+
+
+def test_tar_member_naming_webdataset_compatible(tmp_path):
+    """Members must be named <key>.<ext> so stock webdataset could read them."""
+    path = str(tmp_path / "x.tar")
+    with TarWriter(path) as w:
+        w.write({"__key__": "cat_000001", "jpg": b"d", "cls": "cat",
+                 "json": {"a": 1}})
+    with tarfile.open(path) as tf:
+        names = sorted(m.name for m in tf.getmembers())
+    assert names == ["cat_000001.cls", "cat_000001.jpg", "cat_000001.json"]
+
+
+def test_shard_writer_rolls_shards(tmp_path):
+    w = ShardWriter(str(tmp_path), "train", samples_per_shard=3)
+    with w:
+        for i in range(8):
+            w.write({"__key__": f"k_{i:06d}", "jpg": b"x", "cls": "c"})
+    assert len(w.shard_paths) == 3
+    assert w.shard_paths[0].endswith("train-000000.tar")
+    counts = [len(list(iter_shard(p))) for p in w.shard_paths]
+    assert counts == [3, 3, 2]
+    assert len(list(iter_samples(w.shard_paths))) == 8
+
+
+def test_analyze_webdataset_ordering_and_weights(tmp_path):
+    """Class names frequency-descending; weights n/(k*freq) (utility.py:96-116)."""
+    w = ShardWriter(str(tmp_path), "train", samples_per_shard=100)
+    with w:
+        i = 0
+        for name, count in [("rare", 2), ("common", 6), ("mid", 4)]:
+            for _ in range(count):
+                w.write({"__key__": f"{name}_{i:06d}", "jpg": b"x", "cls": name})
+                i += 1
+    info = analyze_webdataset(w.shard_paths)
+    assert info.class_names == ("common", "mid", "rare")
+    assert info.total_samples == 12
+    np.testing.assert_allclose(
+        info.class_weights, (12 / (3 * 6), 12 / (3 * 4), 12 / (3 * 2)))
+
+
+def test_analyze_tie_break_first_seen(tmp_path):
+    w = ShardWriter(str(tmp_path), "train", samples_per_shard=100)
+    with w:
+        for i, name in enumerate(["b", "a", "b", "a"]):
+            w.write({"__key__": f"{name}_{i:06d}", "jpg": b"x", "cls": name})
+    info = analyze_webdataset(w.shard_paths)
+    assert info.class_names == ("b", "a")  # tie -> first seen
+
+
+def test_kfold_balanced_and_deterministic(synthetic_shards):
+    shards = synthetic_shards["shards"]
+    folds1 = create_stratified_kfolds(shards, k=3, seed=42)
+    folds2 = create_stratified_kfolds(shards, k=3, seed=42)
+    assert folds1 == folds2
+    # Every shard in exactly one fold
+    flat = [s for f in folds1 for s in f]
+    assert sorted(flat) == sorted(shards)
+    # Fold sizes balanced within one shard's worth of samples
+    totals = [sum(sum(shard_class_histogram(s).values()) for s in f)
+              for f in folds1]
+    assert max(totals) - min(totals) <= 25  # samples_per_shard in fixture
+
+
+def test_kfold_histogram_reuse(synthetic_shards):
+    shards = synthetic_shards["shards"]
+    hists = {p: shard_class_histogram(p) for p in shards}
+    folds_a = create_stratified_kfolds(shards, k=2, seed=7)
+    folds_b = create_stratified_kfolds(shards, k=2, seed=7, histograms=hists)
+    assert folds_a == folds_b
+
+
+def test_synthetic_fixture_schema(synthetic_shards):
+    info = analyze_webdataset(synthetic_shards["shards"])
+    assert info.num_classes == synthetic_shards["num_classes"]
+    assert info.total_samples == synthetic_shards["total"]
+    s = next(iter_samples(synthetic_shards["shards"]))
+    assert set(s) == {"__key__", "jpg", "cls", "json"}
+    assert s["jpg"][:2] == b"\xff\xd8"  # JPEG magic
