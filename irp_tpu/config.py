@@ -81,6 +81,10 @@ class ModelConfig:
     # frozen stages.
     bn_stats_mode: str = "all"
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay f32
+    # conv/matmul precision: 'default' (fast, bf16-class passes) or
+    # 'highest' (full f32 MXU passes — needed for the 1e-3 eval-fidelity bar
+    # vs the reference when compute_dtype=float32).
+    precision: str = "default"
     pretrained_path: str | None = None  # torch state_dict .pth to convert
 
 

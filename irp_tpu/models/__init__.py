@@ -1,0 +1,14 @@
+"""Model family: Flax ResNet backbones + MLP-head classifier + converters."""
+
+from irp_tpu.models.resnet import ResNet, STAGE_SIZES  # noqa: F401
+from irp_tpu.models.classifier import (  # noqa: F401
+    Classifier,
+    init_classifier,
+    weighted_cross_entropy,
+)
+from irp_tpu.models.convert import (  # noqa: F401
+    load_torch_checkpoint,
+    merge_pretrained,
+    torch_state_dict_to_variables,
+    flax_variables_to_torch_state_dict,
+)

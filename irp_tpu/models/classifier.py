@@ -1,0 +1,103 @@
+"""Backbone + MLP-head classifier and the create_model factory.
+
+Mirrors the reference ``AnimalClassifier`` (reference functions/model.py:9-41):
+headless ResNet50 backbone (fc -> Identity, model.py:27) feeding a
+Dropout -> Linear(2048, 512) -> ReLU -> Dropout -> Linear(512, num_classes)
+head (model.py:30-36), with class-weighted cross-entropy and Adam over
+trainable params only (model.py:45-60).
+
+TPU-native: the head's Dense layers are the natural tensor-parallel shard
+point (kernel sharded on the output/input dim over the 'model' mesh axis —
+see irp_tpu.parallel.mesh.param_sharding_rules).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.models.resnet import STAGE_NAMES, ResNet
+
+
+class Classifier(nn.Module):
+    """ResNet backbone + 2-layer MLP head."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        precision = _resolve_precision(cfg.precision)
+        if cfg.head_only:
+            frozen_prefix = 4
+        else:
+            trainable = set(cfg.trainable_stages)
+            frozen_prefix = 0
+            for name in STAGE_NAMES:
+                if name in trainable:
+                    break
+                frozen_prefix += 1
+        self.backbone = ResNet(depth=cfg.depth, dtype=dtype,
+                               frozen_prefix=frozen_prefix,
+                               bn_stats_mode=cfg.bn_stats_mode,
+                               precision=precision)
+        self.head_dropout1 = nn.Dropout(rate=cfg.dropout_rate)
+        self.head_dense1 = nn.Dense(cfg.hidden_dim, dtype=dtype,
+                                    param_dtype=jnp.float32,
+                                    precision=precision)
+        self.head_dropout2 = nn.Dropout(rate=cfg.dropout_rate)
+        self.head_dense2 = nn.Dense(cfg.num_classes, dtype=dtype,
+                                    param_dtype=jnp.float32,
+                                    precision=precision)
+
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train=train)
+        y = self.head_dropout1(feats, deterministic=not train)
+        y = self.head_dense1(y)
+        y = nn.relu(y)
+        y = self.head_dropout2(y, deterministic=not train)
+        y = self.head_dense2(y)
+        return y.astype(jnp.float32)  # logits in f32 for a stable loss
+
+    def features(self, x):
+        """Headless forward (for the outlier-detection feature extractor,
+        reference data_curation.py:654-684)."""
+        return self.backbone(x, train=False).astype(jnp.float32)
+
+
+def _resolve_precision(name: str | None):
+    if name in (None, "default"):
+        return None
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[name]
+
+
+def weighted_cross_entropy(logits, labels, class_weights=None,
+                           label_smoothing: float = 0.0):
+    """Per-class-weighted softmax cross-entropy.
+
+    Matches torch.nn.CrossEntropyLoss(weight=w) semantics (reference
+    model.py:50-54): mean is weighted — sum(w_i * ce_i) / sum(w_i).
+    """
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot * logp, axis=-1)
+    if class_weights is None:
+        return jnp.mean(ce)
+    w = jnp.asarray(class_weights, dtype=logits.dtype)[labels]
+    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def init_classifier(cfg: ModelConfig, rng: jax.Array, image_size: int = 224):
+    """Initialize the classifier; returns (module, variables)."""
+    model = Classifier(config=cfg)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    return model, variables

@@ -1,0 +1,203 @@
+"""PyTorch <-> Flax weight conversion for the ResNet classifier.
+
+The reference loads torchvision ``resnet50(IMAGENET1K_V2)`` weights
+(reference functions/model.py:15).  This module converts a PyTorch
+state_dict (torchvision backbone naming, optionally prefixed ``backbone.``
+with a ``classifier.{1,4}`` head as in reference model.py:30-36) into the
+Flax variable tree produced by irp_tpu.models.classifier.Classifier.
+
+Layout rules:
+- conv ``weight`` OIHW -> HWIO kernel (transpose 2,3,1,0)
+- linear ``weight`` (out,in) -> (in,out) kernel
+- bn ``weight/bias/running_mean/running_var`` ->
+  params.scale/params.bias/batch_stats.mean/batch_stats.var
+
+Gated on a weights file existing locally — this environment has no network
+egress, so pretrained init is optional (random init otherwise).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+from irp_tpu.models.resnet import STAGE_SIZES
+
+_BN_MAP = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def _strip_prefix(key: str) -> str:
+    return key[len("backbone."):] if key.startswith("backbone.") else key
+
+
+def torch_key_to_flax(key: str):
+    """Map one torchvision state_dict key to (collection, path tuple, kind).
+
+    kind in {'conv', 'bn'} drives the tensor layout transform.
+    Returns None for keys to skip (fc.*, num_batches_tracked).
+    """
+    key = _strip_prefix(key)
+    if key.startswith("fc.") or key.endswith("num_batches_tracked"):
+        return None
+
+    m = re.match(r"^(conv1|bn1)\.(.+)$", key)
+    if m:
+        mod, field = m.groups()
+        if mod == "conv1":
+            return ("params", ("backbone", "conv1", "kernel"), "conv")
+        coll, name = _BN_MAP[field]
+        return (coll, ("backbone", "bn1", name), "bn")
+
+    m = re.match(r"^layer(\d)\.(\d+)\.(conv\d|bn\d|downsample)\.(.+)$", key)
+    if m:
+        stage, block, mod, rest = m.groups()
+        base = ("backbone", f"layer{stage}_block{block}")
+        if mod == "downsample":
+            sub, field = rest.split(".", 1)
+            if sub == "0":  # downsample conv
+                return ("params", base + ("downsample_conv", "kernel"), "conv")
+            coll, name = _BN_MAP[field]
+            return (coll, base + ("downsample_bn", name), "bn")
+        if mod.startswith("conv"):
+            return ("params", base + (mod, "kernel"), "conv")
+        coll, name = _BN_MAP[rest]
+        return (coll, base + (mod, name), "bn")
+
+    m = re.match(r"^classifier\.(\d)\.(weight|bias)$", key)
+    if m:
+        idx, field = m.groups()
+        dense = {"1": "head_dense1", "4": "head_dense2"}.get(idx)
+        if dense is None:
+            return None
+        name = "kernel" if field == "weight" else "bias"
+        return ("params", (dense, name), "linear")
+
+    raise KeyError(f"unrecognized torch key: {key}")
+
+
+def _set_path(tree: Dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
+    """Convert a torch state_dict (tensors or ndarrays) to flax variables.
+
+    Returns ``{"params": ..., "batch_stats": ...}`` as nested dicts of
+    float32 numpy arrays.  Missing head keys are fine (backbone-only
+    torchvision checkpoints); merge over a randomly-initialized tree with
+    ``merge_pretrained``.
+    """
+    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    for key, value in state_dict.items():
+        mapped = torch_key_to_flax(key)
+        if mapped is None:
+            continue
+        coll, path, kind = mapped
+        arr = np.asarray(getattr(value, "numpy", lambda: value)(),
+                         dtype=np.float32)
+        if kind == "conv":
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        elif kind == "linear" and arr.ndim == 2:
+            arr = arr.T  # (out,in) -> (in,out)
+        _set_path(out[coll], path, arr)
+    return out
+
+
+def merge_pretrained(variables, pretrained) -> Dict:
+    """Overlay converted pretrained arrays onto an init'd variable tree.
+
+    Shape-checks every overlaid leaf; leaves absent from ``pretrained``
+    (e.g. the head when loading a torchvision backbone) keep their random
+    init.
+    """
+    import jax
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"pretrained key {path}/{k} not in model tree")
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v, f"{path}/{k}")
+            else:
+                want = np.shape(dst[k])
+                got = np.shape(v)
+                if want != got:
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: model {want}, "
+                        f"pretrained {got}")
+                out[k] = np.asarray(v, dtype=np.result_type(dst[k]))
+        return out
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    plain = {k: dict(v) for k, v in variables.items()}
+    result = dict(plain)
+    for coll in ("params", "batch_stats"):
+        if coll in pretrained and pretrained[coll]:
+            result[coll] = merge(plain[coll], pretrained[coll], coll)
+    return result
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pth state_dict via torch (CPU) and convert.
+
+    Accepts either a bare state_dict or a dict with a 'state_dict' entry.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return torch_state_dict_to_variables(obj)
+
+
+def flax_variables_to_torch_state_dict(variables, depth: int = 50):
+    """Inverse conversion (for exporting checkpoints the reference stack
+    could load; reverse of torch_state_dict_to_variables)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(tkey, kernel):
+        sd[tkey] = np.asarray(kernel, np.float32).transpose(3, 2, 0, 1)
+
+    def put_bn(tprefix, pnode, snode):
+        sd[f"{tprefix}.weight"] = np.asarray(pnode["scale"], np.float32)
+        sd[f"{tprefix}.bias"] = np.asarray(pnode["bias"], np.float32)
+        sd[f"{tprefix}.running_mean"] = np.asarray(snode["mean"], np.float32)
+        sd[f"{tprefix}.running_var"] = np.asarray(snode["var"], np.float32)
+
+    b = params["backbone"]
+    bs = stats.get("backbone", {})
+    put_conv("backbone.conv1.weight", b["conv1"]["kernel"])
+    put_bn("backbone.bn1", b["bn1"], bs["bn1"])
+    for i, n_blocks in enumerate(STAGE_SIZES[depth]):
+        for j in range(n_blocks):
+            fkey = f"layer{i + 1}_block{j}"
+            tbase = f"backbone.layer{i + 1}.{j}"
+            node, snode = b[fkey], bs[fkey]
+            for conv_name in sorted(k for k in node if k.startswith("conv")):
+                put_conv(f"{tbase}.{conv_name}.weight", node[conv_name]["kernel"])
+                bn_name = "bn" + conv_name[-1]
+                put_bn(f"{tbase}.{bn_name}", node[bn_name], snode[bn_name])
+            if "downsample_conv" in node:
+                put_conv(f"{tbase}.downsample.0.weight",
+                         node["downsample_conv"]["kernel"])
+                put_bn(f"{tbase}.downsample.1", node["downsample_bn"],
+                       snode["downsample_bn"])
+    for idx, dense in (("1", "head_dense1"), ("4", "head_dense2")):
+        sd[f"classifier.{idx}.weight"] = np.asarray(
+            params[dense]["kernel"], np.float32).T
+        sd[f"classifier.{idx}.bias"] = np.asarray(
+            params[dense]["bias"], np.float32)
+    return sd

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: XLA CPU compiles of ResNet graphs dominate
+# suite time on the 1-core host; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/irp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
