@@ -1,0 +1,112 @@
+"""Benchmark: ResNet50 preprocess+train throughput on the real TPU chip.
+
+Measures steady-state imgs/sec/chip for the full fused training step —
+on-device batch gather from the HBM-resident uint8 dataset, augmentation
+(RandomResizedCrop + flip + color jitter), ImageNet normalize, bf16 ResNet50
+forward+backward (frozen prefix pruned from the backward graph), masked-Adam
+update with OneCycle schedule — i.e. everything between "raw cached pixels"
+and "updated weights".
+
+Baseline: the driver north star of 5,000 imgs/sec/chip (BASELINE.json; the
+reference publishes no throughput numbers at all, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 5000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from irp_tpu.data.pipeline import CachedDataset, EpochSampler, HBMDataset
+    from irp_tpu.models import init_classifier
+    from irp_tpu.ops.schedules import onecycle_cosine
+    from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
+    from irp_tpu.train.state import create_train_state
+    from irp_tpu.train.step import make_hbm_epoch_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    intensity = os.environ.get("BENCH_INTENSITY", "medium")
+    n_samples = int(os.environ.get("BENCH_SAMPLES", "4096"))
+
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    n_classes = 10
+    model_cfg = ModelConfig(depth=50, num_classes=n_classes, image_size=224,
+                            compute_dtype="bfloat16")
+    train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
+                            batch_size=batch_size)
+
+    rng = np.random.default_rng(0)
+    cached = CachedDataset(
+        images=rng.integers(0, 255, (n_samples, 256, 256, 3), dtype=np.uint8),
+        labels=rng.integers(0, n_classes, n_samples).astype(np.int32),
+        keys=[str(i) for i in range(n_samples)],
+        class_names=tuple(str(i) for i in range(n_classes)))
+
+    model, variables = init_classifier(model_cfg, jax.random.PRNGKey(0), 224)
+    variables = shard_variables(mesh, variables)
+    schedule = onecycle_cosine(train_cfg.learning_rate, steps + warmup)
+    state = create_train_state(model, variables, train_cfg, model_cfg,
+                               schedule)
+
+    hbm = HBMDataset(cached, mesh)
+    sampler = EpochSampler(hbm, batch_size, seed=0)
+    # One compiled program per measured block: lax.scan over the steps
+    # (single dispatch — the per-step Python overhead on this 1-core host
+    # otherwise dominates and hides true device time).
+    step = make_hbm_epoch_step(mesh, class_weights=None, intensity=intensity,
+                               out_size=224, compute_dtype=jnp.bfloat16)
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    key = jax.random.PRNGKey(1)
+    # Warmup with the SAME scan length so the measured call hits the
+    # compile cache.
+    idx_w = jax.device_put(sampler.epoch_matrix(steps), idx_sh)
+    state, metrics = step(state, hbm.images, hbm.labels, idx_w,
+                          jax.random.fold_in(key, 0))
+    jax.block_until_ready(metrics["loss"])
+
+    idx_m = jax.device_put(sampler.epoch_matrix(steps), idx_sh)
+    t0 = time.perf_counter()
+    state, metrics = step(state, hbm.images, hbm.labels, idx_m,
+                          jax.random.fold_in(key, 1))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    imgs_per_sec = steps * batch_size / dt
+    per_chip = imgs_per_sec / n_chips
+    # epochs/hr on the full Animals-10 train set (26003 - test split)
+    epoch_imgs = 20944  # cleaned train split size (26003 * 0.8 approx)
+    result = {
+        "metric": "resnet50_preproc_train_throughput",
+        "value": round(per_chip, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),
+        "batch_size": batch_size,
+        "steps": steps,
+        "step_ms": round(1000 * dt / steps, 2),
+        "epochs_per_hour": round(3600 * imgs_per_sec / epoch_imgs, 1),
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+        "intensity": intensity,
+        "final_loss": float(np.asarray(metrics["loss"])[-1]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

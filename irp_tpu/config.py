@@ -71,6 +71,7 @@ class ModelConfig:
 
     depth: int = 50  # 18/34/50/101/152
     num_classes: int = 10
+    image_size: int = 224  # model input resolution (crop target)
     hidden_dim: int = 512
     dropout_rate: float = 0.3
     trainable_stages: tuple = ("layer4",)  # frozen backbone except these

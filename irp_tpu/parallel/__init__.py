@@ -1,0 +1,9 @@
+"""Parallelism: device mesh, shardings, distributed init helpers."""
+
+from irp_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_variables,
+)

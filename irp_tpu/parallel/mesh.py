@@ -1,0 +1,83 @@
+"""Device mesh + sharding layout.
+
+The reference is single-device (SURVEY §2: zero torch.distributed /
+DataParallel anywhere); parallelism here is first-class and TPU-native:
+a ('data', 'model') jax.sharding.Mesh over ICI, with
+
+- **data parallelism**: batches sharded on 'data'; GSPMD inserts the psum
+  gradient all-reduce during jit partitioning (no hand-written collectives);
+- **tensor parallelism** (optional, for the MLP head): Megatron-style —
+  head_dense1 kernel column-sharded P(None,'model'), head_dense2 kernel
+  row-sharded P('model',None); XLA inserts the psum on the second matmul.
+  The ResNet backbone stays replicated (25M params; DP is the right
+  strategy, SURVEY §2 parallelism table).
+
+Multi-host: call ``jax.distributed.initialize`` before ``make_mesh`` and the
+same code runs over DCN+ICI; shardings are laid out so collectives ride ICI
+within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from irp_tpu.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    data, model = cfg.axis_sizes(len(devices))
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {len(devices)}")
+    arr = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch tensors sharded on the leading (batch) dim."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _head_spec(path_keys) -> P:
+    """Tensor-parallel spec for the head; everything else replicated."""
+    path = "/".join(path_keys)
+    if path.endswith("head_dense1/kernel"):
+        return P(None, MODEL_AXIS)
+    if path.endswith("head_dense1/bias"):
+        return P(MODEL_AXIS)
+    if path.endswith("head_dense2/kernel"):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, variables):
+    """NamedSharding tree for a Classifier variable tree.
+
+    Backbone replicated; MLP head Megatron-sharded over the 'model' axis
+    (a no-op when the model axis has size 1).
+    """
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        return NamedSharding(mesh, _head_spec(keys))
+
+    return jax.tree_util.tree_map_with_path(spec_for, variables)
+
+
+def shard_variables(mesh: Mesh, variables):
+    """device_put a variable tree with its param shardings."""
+    shardings = param_shardings(mesh, variables)
+    return jax.device_put(variables, shardings)

@@ -1,0 +1,151 @@
+"""High-level fit(): wire data + model + mesh + steps + loops together.
+
+This is the TPU-native equivalent of the reference's
+``create_model`` + ``train_model`` composition (reference
+functions/model.py:45-60, train.py:111-189), used by the e2e slice, the
+hyperopt objective, and the final trainer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from irp_tpu.config import DatasetInfo, ModelConfig, TrainConfig
+from irp_tpu.data.pipeline import (CachedDataset, EpochSampler, HBMDataset,
+                                   iter_host_batches)
+from irp_tpu.models import init_classifier, load_torch_checkpoint, merge_pretrained
+from irp_tpu.ops.schedules import onecycle_cosine
+from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
+from irp_tpu.train.loop import evaluate, train_epoch, train_model
+from irp_tpu.train.state import create_train_state
+from irp_tpu.train.step import (make_eval_step, make_hbm_train_step,
+                                make_train_step)
+
+
+def compute_steps_per_epoch(train_cfg: TrainConfig, n_train: int) -> int:
+    """Capped steps per epoch (reference train.py:19: 1024/batch_size)."""
+    if train_cfg.steps_per_epoch_override is not None:
+        return max(int(train_cfg.steps_per_epoch_override), 1)
+    full = max(n_train // train_cfg.batch_size, 1)
+    if train_cfg.train_samples_per_epoch is None:
+        return full
+    cap = max(train_cfg.train_samples_per_epoch // train_cfg.batch_size, 1)
+    return min(full, cap)
+
+
+def build_schedule(train_cfg: TrainConfig, steps_per_epoch: int):
+    """OneCycle over the whole run (train.py:115-121).  In 'epoch' mode the
+    lr advances once per epoch (final.py:330 quirk kept as a mode)."""
+    if train_cfg.scheduler_step == "epoch":
+        base = onecycle_cosine(train_cfg.learning_rate, train_cfg.max_epochs)
+        return lambda count: base(count // max(steps_per_epoch, 1))
+    total = steps_per_epoch * train_cfg.max_epochs
+    return onecycle_cosine(train_cfg.learning_rate, total)
+
+
+@dataclass
+class FitResult:
+    state: object
+    history: dict
+    best_val_acc: float
+    steps_per_epoch: int
+    mesh: object
+    eval_step: object
+
+
+def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
+        info: DatasetInfo, model_cfg: ModelConfig, train_cfg: TrainConfig,
+        mesh=None, logger=None, on_epoch_end=None, mode: str = "hbm",
+        verbose: bool = False, use_class_weights: bool = True) -> FitResult:
+    """End-to-end fine-tune.  mode='hbm' keeps the dataset in device memory
+    (the fast path); 'stream' feeds uint8 batches from host."""
+    mesh = mesh or make_mesh()
+    key = jax.random.PRNGKey(train_cfg.seed)
+    init_key, train_key = jax.random.split(key)
+
+    model, variables = init_classifier(model_cfg, init_key,
+                                       image_size=model_cfg.image_size)
+    if model_cfg.pretrained_path:
+        variables = merge_pretrained(
+            variables, load_torch_checkpoint(model_cfg.pretrained_path))
+    variables = shard_variables(mesh, variables)
+
+    steps_per_epoch = compute_steps_per_epoch(train_cfg, len(train_cached))
+    schedule = build_schedule(train_cfg, steps_per_epoch)
+    state = create_train_state(model, variables, train_cfg, model_cfg,
+                               schedule)
+
+    cw = np.asarray(info.class_weights, np.float32) if use_class_weights else None
+    dtype = jnp.dtype(model_cfg.compute_dtype)
+
+    if mode == "hbm":
+        from irp_tpu.train.step import make_hbm_epoch_step
+
+        hbm = HBMDataset(train_cached, mesh)
+        sampler = EpochSampler(hbm, train_cfg.batch_size,
+                               seed=train_cfg.seed)
+        epoch_step = make_hbm_epoch_step(mesh, cw, train_cfg.aug_intensity,
+                                         out_size=model_cfg.image_size,
+                                         compute_dtype=dtype)
+        idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+        def run_epoch_hbm(state, epoch):
+            idx = sampler.epoch_matrix(steps_per_epoch)
+            idx_dev = jax.device_put(idx, idx_sharding)
+            state, metrics = epoch_step(
+                state, hbm.images, hbm.labels, idx_dev,
+                jax.random.fold_in(train_key, epoch))
+            loss = float(jnp.mean(metrics["loss"]))
+            acc = float(jnp.mean(metrics["accuracy"])) * 100.0
+            return state, loss, acc
+    elif mode == "stream":
+        step = make_train_step(cw, train_cfg.aug_intensity,
+                               out_size=model_cfg.image_size,
+                               compute_dtype=dtype)
+
+        def run_step(state, batch, key):
+            images, labels, _ = batch
+            return step(state, images, labels, key)
+
+        def batches_for_epoch(epoch):
+            return iter_host_batches(train_cached, train_cfg.batch_size,
+                                     shuffle=True,
+                                     seed=train_cfg.seed + epoch,
+                                     pad_final=True)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    eval_step = make_eval_step(out_size=model_cfg.image_size,
+                               compute_dtype=dtype)
+
+    def run_epoch(state, epoch):
+        if mode == "hbm":
+            return run_epoch_hbm(state, epoch)
+        return train_epoch(state, run_step, batches_for_epoch(epoch),
+                           jax.random.fold_in(train_key, epoch),
+                           max_steps=steps_per_epoch)
+
+    def eval_fn(state):
+        if val_cached is None or len(val_cached) == 0:
+            from irp_tpu.train.loop import EvalResult
+            return EvalResult(0.0, 0.0, np.zeros(0, int), np.zeros(0, int),
+                              np.zeros((0, info.num_classes)))
+        return evaluate(state, eval_step, val_cached,
+                        batch_size=train_cfg.batch_size,
+                        max_samples=train_cfg.eval_samples,
+                        class_weights=cw)
+
+    state, history, best = train_model(
+        state, run_epoch, eval_fn, train_cfg.max_epochs,
+        patience=train_cfg.patience, logger=logger,
+        on_epoch_end=on_epoch_end, verbose=verbose)
+
+    return FitResult(state=state, history=history, best_val_acc=best,
+                     steps_per_epoch=steps_per_epoch, mesh=mesh,
+                     eval_step=eval_step)

@@ -6,7 +6,6 @@ tests simulate the v5e-8 slice with xla_force_host_platform_device_count).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +13,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Force CPU: the axon sitecustomize preloads jax and pins
+# jax_platforms='axon,cpu' (the real TPU tunnel), so the env var is read
+# too early — override the config directly.  Tests run on the virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA CPU compiles of ResNet graphs dominate
 # suite time on the 1-core host; cache them across runs.
