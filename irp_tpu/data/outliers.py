@@ -1,0 +1,498 @@
+"""Embedding-based outlier detection: features -> PCA -> UMAP -> LOF.
+
+TPU-native rebuild of the reference pipeline (reference
+functions/data_curation.py:654-870):
+
+- **Feature extraction** (#6, :654-684): the reference runs a headless
+  ResNet50 one image at a time (its ``batch_size`` parameter is unused —
+  the single biggest perf sin in the repo, SURVEY §3.4).  Here extraction
+  is a jitted batched forward over the decoded cache.
+- **PCA** (#7, :686-695): 50 components via jnp SVD on device.
+- **Supervised UMAP** (#7, :696-707): from-scratch implementation —
+  kNN via blocked pairwise-distance matmuls on TPU, fuzzy simplicial set
+  (smooth-kNN calibration) on host numpy, categorical label intersection
+  (``target_metric='categorical'``, ``target_weight=0.5``), spectral init,
+  and the attract/repulse negative-sampling SGD layout as a jitted
+  jax.lax.fori_loop.  umap-learn is not installed in this environment;
+  this matches its algorithmic structure, not bit-level output.
+- **LOF** (#8, :709-743): local outlier factor from TPU kNN distances;
+  per-class (n_neighbors=30, contamination=0.05) + global (75, 0.03).
+- **Reporting/cleaning** (#9, :746-870): results frame, UMAP/outlier
+  scatter plots, per-class stats, sample grids, clean-set writer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.data.pipeline import CachedDataset
+
+# ---------------------------------------------------------------------------
+# Feature extraction (batched, on device)
+# ---------------------------------------------------------------------------
+
+
+def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
+                     batch_size: int = 64, variables=None,
+                     verbose: bool = False):
+    """Headless ResNet features for every cached image, batched on TPU.
+
+    Returns (features (N,F) f32 numpy, labels (N,), keys).
+    ``variables`` may carry pretrained weights (via models.convert);
+    random-init features still give a consistent embedding geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from irp_tpu.models import Classifier, init_classifier
+    from irp_tpu.ops.preprocess import center_crop
+    from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
+    model_cfg = model_cfg or ModelConfig()
+    model, init_vars = init_classifier(model_cfg, jax.random.PRNGKey(0),
+                                       image_size=model_cfg.image_size)
+    variables = variables or init_vars
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    size = model_cfg.image_size
+
+    @jax.jit
+    def feature_step(images_u8):
+        x = center_crop(images_u8, size).astype(jnp.float32) / 255.0
+        x = ((x - mean) / std).astype(jnp.dtype(model_cfg.compute_dtype))
+        return model.apply(variables, x, method=Classifier.features)
+
+    n = len(cached)
+    feats = []
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        batch = np.asarray(cached.images[idx])
+        if len(idx) < batch_size:  # pad for a static shape
+            pad = np.resize(idx, batch_size)
+            batch = np.asarray(cached.images[pad])
+        out = np.asarray(feature_step(batch), np.float32)[:len(idx)]
+        feats.append(out)
+        if verbose and (start // batch_size) % 20 == 0:
+            print(f"features: {start + len(idx)}/{n}")
+    features = np.concatenate(feats) if feats else np.zeros((0, 1))
+    return features, np.asarray(cached.labels), list(cached.keys)
+
+
+# ---------------------------------------------------------------------------
+# PCA (device SVD)
+# ---------------------------------------------------------------------------
+
+
+def pca(features: np.ndarray, n_components: int = 50):
+    """PCA via SVD on device (reference uses sklearn PCA(50),
+    data_curation.py:692-695).  Returns (projected, components, mean)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(features, jnp.float32)
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    xc = x - mu
+    # economical SVD; components = rows of Vt
+    _, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+    comps = vt[:n_components]
+    proj = xc @ comps.T
+    return np.asarray(proj), np.asarray(comps), np.asarray(mu)
+
+
+# ---------------------------------------------------------------------------
+# kNN on TPU (blocked pairwise distances)
+# ---------------------------------------------------------------------------
+
+
+def knn(x: np.ndarray, k: int, block: int = 1024):
+    """Exact kNN (excluding self): returns (indices (N,k), dists (N,k)).
+
+    Pairwise distances as blocked ||a||^2+||b||^2-2ab matmuls on device —
+    the MXU path the north star asks for (BASELINE.json).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x, jnp.float32)
+    n = xd.shape[0]
+    sq = jnp.sum(xd * xd, axis=1)
+
+    @jax.jit
+    def block_topk(rows):
+        d = (sq[rows][:, None] + sq[None, :]
+             - 2.0 * rows_dot(rows))
+        d = d.at[jnp.arange(rows.shape[0]), rows].set(jnp.inf)  # no self
+        neg_top, idx = jax.lax.top_k(-d, k)
+        return idx, jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+
+    def rows_dot(rows):
+        return xd[rows] @ xd.T
+
+    idxs, dists = [], []
+    for start in range(0, n, block):
+        rows = jnp.arange(start, min(start + block, n))
+        if rows.shape[0] < block:  # pad for static shape
+            rows = jnp.concatenate(
+                [rows, jnp.zeros(block - rows.shape[0], jnp.int32)])
+            i, dv = block_topk(rows)
+            keep = min(block, n - start)
+            i, dv = i[:keep], dv[:keep]
+        else:
+            i, dv = block_topk(rows)
+        idxs.append(np.asarray(i))
+        dists.append(np.asarray(dv))
+    return np.concatenate(idxs), np.concatenate(dists)
+
+
+# ---------------------------------------------------------------------------
+# UMAP (from scratch)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_knn(dists: np.ndarray, n_iter: int = 64,
+                local_connectivity: float = 1.0):
+    """Per-point (rho, sigma) calibration: binary search so that
+    sum(exp(-(d - rho)/sigma)) = log2(k) (UMAP's smooth_knn_dist)."""
+    n, k = dists.shape
+    target = np.log2(k)
+    rho = dists[:, max(int(local_connectivity) - 1, 0)].copy()
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    sigma = np.ones(n)
+    for _ in range(n_iter):
+        val = np.exp(-(np.maximum(dists - rho[:, None], 0.0)
+                       / sigma[:, None])).sum(axis=1)
+        too_big = val > target
+        hi = np.where(too_big, sigma, hi)
+        lo = np.where(too_big, lo, sigma)
+        sigma = np.where(np.isinf(hi), sigma * 2.0, (lo + hi) / 2.0)
+    sigma = np.maximum(sigma, 1e-3 * np.maximum(dists.mean(axis=1), 1e-8))
+    return rho, sigma
+
+
+def fuzzy_simplicial_set(knn_idx: np.ndarray, knn_dist: np.ndarray):
+    """Symmetrized fuzzy graph: w = w1 + w2 - w1*w2.  Returns COO arrays
+    (rows, cols, weights)."""
+    n, k = knn_idx.shape
+    rho, sigma = _smooth_knn(knn_dist)
+    w = np.exp(-(np.maximum(knn_dist - rho[:, None], 0.0) / sigma[:, None]))
+    rows = np.repeat(np.arange(n), k)
+    cols = knn_idx.reshape(-1)
+    vals = w.reshape(-1)
+    # symmetrize via dict accumulation (n*k entries, fine on host)
+    import scipy.sparse as sp
+
+    g = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    gt = g.T.tocsr()
+    sym = g + gt - g.multiply(gt)
+    sym = sym.tocoo()
+    return sym.row.astype(np.int32), sym.col.astype(np.int32), \
+        sym.data.astype(np.float32)
+
+
+def categorical_intersection(rows, cols, vals, labels: np.ndarray,
+                             target_weight: float = 0.5):
+    """Supervised UMAP: downweight edges between different-label points
+    (umap-learn's categorical_simplicial_set_intersection with
+    unknown_dist/far_dist derived from target_weight; reference
+    data_curation.py:700-706 uses target_metric='categorical',
+    target_weight=0.5)."""
+    far_dist = 2.5 if target_weight < 1.0 else 1e12
+    scale = np.exp(-far_dist * target_weight / max(1 - target_weight, 1e-3))
+    same = labels[rows] == labels[cols]
+    return np.where(same, vals, vals * scale).astype(np.float32)
+
+
+def spectral_init(rows, cols, vals, n: int, dim: int = 2,
+                  seed: int = 42) -> np.ndarray:
+    """Normalized-Laplacian spectral embedding init (UMAP default)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    g = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    deg = np.asarray(g.sum(axis=1)).ravel()
+    d_inv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-8)))
+    lap = sp.identity(n) - d_inv @ g @ d_inv
+    try:
+        k = dim + 1
+        _, vecs = spl.eigsh(lap, k=k, sigma=0.0, which="LM",
+                            maxiter=2000)
+        emb = vecs[:, 1:k]
+    except Exception:  # noqa: BLE001 — fall back to random init
+        emb = np.random.default_rng(seed).normal(0, 1e-2, (n, dim))
+    emb = emb / max(np.abs(emb).max(), 1e-12) * 10.0
+    return emb.astype(np.float32)
+
+
+def optimize_layout(emb: np.ndarray, rows, cols, vals, n_epochs: int = 200,
+                    lr: float = 1.0, negative_rate: int = 5,
+                    a: float = 1.577, b: float = 0.895, seed: int = 42,
+                    min_dist_clip: float = 4.0) -> np.ndarray:
+    """UMAP's attract/repulse SGD, vectorized per epoch on device.
+
+    Each epoch processes every edge (sampled-by-weight attraction like
+    umap-learn's epochs_per_sample scheme, here weight-scaled updates) and
+    ``negative_rate`` random repulsions per edge; updates applied via
+    scatter-add.  a,b are the curve params for min_dist=0.1 (umap default).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = emb.shape[0]
+    e_rows = jnp.asarray(rows)
+    e_cols = jnp.asarray(cols)
+    e_w = jnp.asarray(vals / max(vals.max(), 1e-12))
+
+    def attract_grad(d2):
+        # d phi_attr / d d2 with phi = log(1 + a d^(2b))
+        grad_coef = (-2.0 * a * b * jnp.power(jnp.maximum(d2, 1e-8),
+                                              b - 1.0))
+        return grad_coef / (1.0 + a * jnp.power(jnp.maximum(d2, 1e-8), b))
+
+    def repulse_grad(d2):
+        grad_coef = 2.0 * b
+        return grad_coef / ((0.001 + d2) *
+                            (1.0 + a * jnp.power(jnp.maximum(d2, 1e-8), b)))
+
+    @jax.jit
+    def run(emb, key):
+        def epoch(i, carry):
+            emb, key = carry
+            key, k1 = jax.random.split(key)
+            alpha = lr * (1.0 - i / n_epochs)
+
+            p = emb[e_rows]
+            q = emb[e_cols]
+            diff = p - q
+            d2 = jnp.sum(diff * diff, axis=1)
+            g = jnp.clip(attract_grad(d2)[:, None] * diff,
+                         -min_dist_clip, min_dist_clip) * e_w[:, None]
+            emb = emb.at[e_rows].add(alpha * g)
+            emb = emb.at[e_cols].add(-alpha * g)
+
+            def neg(j, carry2):
+                emb, key = carry2
+                key, k2 = jax.random.split(key)
+                neg_idx = jax.random.randint(k2, e_rows.shape, 0, n)
+                p = emb[e_rows]
+                q = emb[neg_idx]
+                diff = p - q
+                d2 = jnp.sum(diff * diff, axis=1)
+                g = jnp.clip(repulse_grad(d2)[:, None] * diff,
+                             -min_dist_clip, min_dist_clip) * e_w[:, None]
+                emb = emb.at[e_rows].add(alpha * g)
+                return emb, key
+
+            emb, key = jax.lax.fori_loop(0, negative_rate, neg, (emb, key))
+            return emb, key
+
+        emb, _ = jax.lax.fori_loop(0, n_epochs, epoch, (emb, key))
+        return emb
+
+    out = run(jnp.asarray(emb), jax.random.PRNGKey(seed))
+    return np.asarray(out)
+
+
+def umap_2d(features: np.ndarray, labels: Optional[np.ndarray] = None,
+            n_neighbors: int = 15, target_weight: float = 0.5,
+            n_epochs: int = 200, seed: int = 42,
+            verbose: bool = False) -> np.ndarray:
+    """Supervised 2-D UMAP (reference data_curation.py:696-707)."""
+    idx, dist = knn(features, k=n_neighbors)
+    if verbose:
+        print("knn done")
+    rows, cols, vals = fuzzy_simplicial_set(idx, dist)
+    if labels is not None:
+        vals = categorical_intersection(rows, cols, vals,
+                                        np.asarray(labels), target_weight)
+    emb = spectral_init(rows, cols, vals, len(features), seed=seed)
+    if verbose:
+        print("spectral init done")
+    return optimize_layout(emb, rows, cols, vals, n_epochs=n_epochs,
+                           seed=seed)
+
+
+def create_embeddings(features: np.ndarray, labels: np.ndarray,
+                      n_pca: int = 50, n_neighbors: int = 15,
+                      target_weight: float = 0.5, seed: int = 42,
+                      verbose: bool = False):
+    """PCA(50) then supervised UMAP(2) (reference data_curation.py:686-707).
+    Returns (embedding_2d, pca_projection)."""
+    proj, _, _ = pca(features, n_pca)
+    emb = umap_2d(proj, labels, n_neighbors=n_neighbors,
+                  target_weight=target_weight, seed=seed, verbose=verbose)
+    return emb, proj
+
+
+# ---------------------------------------------------------------------------
+# LOF
+# ---------------------------------------------------------------------------
+
+
+def local_outlier_factor(x: np.ndarray, n_neighbors: int = 20):
+    """LOF scores (sklearn-compatible definition): reach-dist -> lrd ->
+    mean ratio of neighbor lrd to own lrd."""
+    n = len(x)
+    k = min(n_neighbors, n - 1)
+    if k < 1:
+        return np.ones(n)
+    idx, dist = knn(x, k)
+    k_dist = dist[:, -1]  # distance to k-th neighbor
+    # reach_dist(a,b) = max(k_dist(b), d(a,b))
+    reach = np.maximum(k_dist[idx], dist)
+    lrd = 1.0 / np.maximum(reach.mean(axis=1), 1e-12)
+    lof = (lrd[idx].mean(axis=1)) / np.maximum(lrd, 1e-12)
+    return lof
+
+
+def detect_outliers(embedding: np.ndarray, labels: np.ndarray,
+                    per_class_neighbors: int = 30,
+                    per_class_contamination: float = 0.05,
+                    global_neighbors: int = 75,
+                    global_contamination: float = 0.03):
+    """Per-class + global LOF flags on the 2-D embedding
+    (reference data_curation.py:709-729).  Returns
+    (class_outlier_mask, global_outlier_mask, scores dict)."""
+    labels = np.asarray(labels)
+    n = len(embedding)
+    class_mask = np.zeros(n, bool)
+    class_scores = np.ones(n)
+    for c in np.unique(labels):
+        sel = np.nonzero(labels == c)[0]
+        if len(sel) < 3:
+            continue
+        scores = local_outlier_factor(embedding[sel],
+                                      min(per_class_neighbors,
+                                          len(sel) - 1))
+        class_scores[sel] = scores
+        n_out = max(int(round(per_class_contamination * len(sel))), 0)
+        if n_out:
+            worst = sel[np.argsort(-scores)[:n_out]]
+            class_mask[worst] = True
+    g_scores = local_outlier_factor(embedding,
+                                    min(global_neighbors, n - 1))
+    global_mask = np.zeros(n, bool)
+    n_out = max(int(round(global_contamination * n)), 0)
+    if n_out:
+        global_mask[np.argsort(-g_scores)[:n_out]] = True
+    return class_mask, global_mask, {"class": class_scores,
+                                     "global": g_scores}
+
+
+def create_results_dataframe(embedding, labels, class_names, keys,
+                             class_mask, global_mask):
+    """x/y/label/key/outlier flags frame (reference
+    data_curation.py:730-743)."""
+    import pandas as pd
+
+    labels = np.asarray(labels)
+    return pd.DataFrame({
+        "x": embedding[:, 0],
+        "y": embedding[:, 1],
+        "label": labels,
+        "class_name": [class_names[l] for l in labels],
+        "key": keys,
+        "class_outlier": class_mask,
+        "global_outlier": global_mask,
+        "is_outlier": class_mask | global_mask,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Visualization + clean-set writer
+# ---------------------------------------------------------------------------
+
+
+def plot_umap(df, path: str) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(9, 7))
+    for name, sub in df.groupby("class_name"):
+        plt.scatter(sub.x, sub.y, s=4, label=name, alpha=0.6)
+    plt.legend(markerscale=3, fontsize=8)
+    plt.title("Supervised UMAP embedding")
+    plt.tight_layout(); plt.savefig(path); plt.close()
+    return path
+
+
+def plot_outliers(df, path: str) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(9, 7))
+    inl = df[~df.is_outlier]
+    out = df[df.is_outlier]
+    plt.scatter(inl.x, inl.y, s=4, c="tab:gray", alpha=0.4,
+                label="inlier")
+    plt.scatter(out.x, out.y, s=10, c="tab:red", label="outlier")
+    plt.legend()
+    plt.title("LOF outliers on UMAP embedding")
+    plt.tight_layout(); plt.savefig(path); plt.close()
+    return path
+
+
+def display_outlier_stats(df) -> "object":
+    """Per-class outlier stats table (printed + returned)."""
+    stats = df.groupby("class_name").agg(
+        total=("is_outlier", "size"),
+        outliers=("is_outlier", "sum"))
+    stats["pct"] = 100.0 * stats["outliers"] / stats["total"]
+    print(stats.to_string())
+    return stats
+
+
+def display_outlier_samples(df, cached: CachedDataset, path: str,
+                            max_samples: int = 16) -> str:
+    """Grid of sample outlier images (reference data_curation.py:800-825)."""
+    from irp_tpu.utils.viz import plot_image_grid
+
+    out_idx = np.nonzero(df.is_outlier.values)[0][:max_samples]
+    images = [np.asarray(cached.images[i]) for i in out_idx]
+    titles = [df.class_name.iloc[i] for i in out_idx]
+    return plot_image_grid(images, titles, path,
+                           suptitle="Sample outliers")
+
+
+def create_clean_dataset(df, src_root: str, dest_root: str,
+                         verbose: bool = True) -> int:
+    """Copy non-outlier source images to the clean directory (reference
+    data_curation.py:827-852).  Expects df.key like '<class>_<i>' mapping
+    to files under src_root/<class>/ — here we carry explicit paths when
+    available via a 'path' column."""
+    os.makedirs(dest_root, exist_ok=True)
+    copied = 0
+    for _, row in df[~df.is_outlier].iterrows():
+        src = row.get("path")
+        if src is None or not os.path.exists(str(src)):
+            continue
+        dst_dir = os.path.join(dest_root, row.class_name)
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copy2(src, os.path.join(dst_dir, os.path.basename(src)))
+        copied += 1
+    if verbose:
+        kept = int((~df.is_outlier).sum())
+        print(f"Clean dataset: copied {copied}/{kept} non-outliers "
+              f"({int(df.is_outlier.sum())} outliers dropped)")
+    return copied
+
+
+def print_summary(df) -> None:
+    total = len(df)
+    n_class = int(df.class_outlier.sum())
+    n_global = int(df.global_outlier.sum())
+    n_any = int(df.is_outlier.sum())
+    print(f"Outlier detection summary: {total} samples, "
+          f"{n_class} class-level, {n_global} global, {n_any} total "
+          f"({100.0 * n_any / max(total, 1):.2f}%)")

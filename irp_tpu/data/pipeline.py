@@ -64,9 +64,31 @@ class CachedDataset:
     labels: np.ndarray  # (N,) int32
     keys: List[str]
     class_names: Tuple[str, ...]
+    # Source-shard index per sample (for shard-level k-folds without
+    # re-decoding, reference dataload.py:61-144 operates at shard level).
+    shard_ids: Optional[np.ndarray] = None
+    shard_paths: Optional[Tuple[str, ...]] = None
 
     def __len__(self):
         return len(self.labels)
+
+    def subset_by_shards(self, shard_subset: Sequence[str]) -> "CachedDataset":
+        """View of the samples originating from the given shards (one
+        decode cache serves every fold split)."""
+        if self.shard_ids is None or self.shard_paths is None:
+            raise ValueError("cache built without shard tracking")
+        wanted = {os.path.abspath(p) for p in shard_subset}
+        keep_ids = [i for i, p in enumerate(self.shard_paths)
+                    if os.path.abspath(p) in wanted]
+        mask = np.isin(self.shard_ids, keep_ids)
+        idx = np.nonzero(mask)[0]
+        return CachedDataset(
+            images=np.ascontiguousarray(self.images[idx]),
+            labels=self.labels[idx],
+            keys=[self.keys[i] for i in idx],
+            class_names=self.class_names,
+            shard_ids=self.shard_ids[idx],
+            shard_paths=self.shard_paths)
 
 
 def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
@@ -98,70 +120,109 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                     images=np.load(img_path, mmap_mode="r"),
                     labels=np.load(lab_path),
                     keys=meta["keys"],
-                    class_names=tuple(class_names))
+                    class_names=tuple(class_names),
+                    shard_ids=np.asarray(meta["shard_ids"], np.int32),
+                    shard_paths=tuple(meta["shard_paths"]))
 
-    images, labels, keys = [], [], []
-    for sample in iter_samples(list(shard_paths)):
-        jpg = sample.get("jpg")
-        cls = sample.get("cls")
-        if jpg is None or cls is None:
-            continue
-        name = cls.decode("utf-8") if isinstance(cls, bytes) else cls
-        images.append(decoder(jpg, size))
-        labels.append(name_to_idx[name])
-        keys.append(sample["__key__"])
+    images, labels, keys, shard_ids = [], [], [], []
+    shard_list = list(shard_paths)
+    for shard_i, shard in enumerate(shard_list):
+        from irp_tpu.data.tar import iter_shard
+        for sample in iter_shard(shard):
+            jpg = sample.get("jpg")
+            cls = sample.get("cls")
+            if jpg is None or cls is None:
+                continue
+            name = cls.decode("utf-8") if isinstance(cls, bytes) else cls
+            images.append(decoder(jpg, size))
+            labels.append(name_to_idx[name])
+            keys.append(sample["__key__"])
+            shard_ids.append(shard_i)
 
     images_arr = np.stack(images) if images else np.zeros(
         (0, size, size, 3), np.uint8)
     labels_arr = np.asarray(labels, np.int32)
+    shard_ids_arr = np.asarray(shard_ids, np.int32)
 
     if cache_dir:
         np.save(img_path, images_arr)
         np.save(lab_path, labels_arr)
         with open(meta_path, "w") as f:
-            json.dump({"class_names": list(class_names), "keys": keys}, f)
+            json.dump({"class_names": list(class_names), "keys": keys,
+                       "shard_ids": [int(i) for i in shard_ids],
+                       "shard_paths": shard_list}, f)
         images_arr = np.load(img_path, mmap_mode="r")
 
     return CachedDataset(images=images_arr, labels=labels_arr, keys=keys,
-                         class_names=tuple(class_names))
+                         class_names=tuple(class_names),
+                         shard_ids=shard_ids_arr,
+                         shard_paths=tuple(shard_list))
 
 
 class HBMDataset:
     """The cached dataset, resident in device HBM, sharded on 'data'.
 
-    Samples are padded (wrap-around) to a multiple of the data-axis size so
-    every device holds an equal local shard; the sampler draws local indices
-    per device, so batch gathers never cross chips.
+    Layout is (D, N/D, H, W, 3) uint8 with the leading device axis sharded:
+    each device holds one contiguous pre-shuffled local shard.  Batches are
+    CONTIGUOUS windows (dynamic_slice on axis 1) — no on-device gathers at
+    all, which keeps the scanned epoch program trivial for XLA (gathers of
+    the dataset inside lax.scan proved compile-pathological on TPU).
+
+    Shuffling model: a host-side global permutation at build time, then
+    per-epoch random window order + a random roll of the window phase
+    (WindowSampler).  Statistically comparable to the reference's
+    shard-shuffle + 1000-sample buffer (reference hyperopt.py:119-128),
+    which is also a locality-bounded shuffle.  ``reshuffle()`` re-permutes
+    on host and re-uploads for full re-randomization when wanted.
     """
 
-    def __init__(self, cached: CachedDataset, mesh):
+    def __init__(self, cached: CachedDataset, mesh, shuffle_seed: int = 0):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from irp_tpu.parallel.mesh import DATA_AXIS
 
         self.mesh = mesh
+        self._cached = cached
         d = mesh.shape[DATA_AXIS]
         n = len(cached)
         n_pad = -(-n // d) * d if n else d
-        idx = np.arange(n_pad) % max(n, 1)
         self.n_total = n
         self.n_padded = n_pad
         self.local_count = n_pad // d
         self.data_axis_size = d
-        img_sh = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
-        lab_sh = NamedSharding(mesh, P(DATA_AXIS))
-        self.images = jax.device_put(np.ascontiguousarray(cached.images[idx]),
-                                     img_sh)
-        self.labels = jax.device_put(cached.labels[idx], lab_sh)
+        self._img_sh = NamedSharding(mesh, P(DATA_AXIS, None, None, None,
+                                             None))
+        self._lab_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        self.images = None
+        self.labels = None
+        self.reshuffle(shuffle_seed)
+
+    def reshuffle(self, seed: int) -> None:
+        import jax
+
+        cached, d = self._cached, self.data_axis_size
+        n, n_pad, local = self.n_total, self.n_padded, self.local_count
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(n_pad) % max(n, 1) if n else np.zeros(
+            n_pad, int)
+        h, w, c = cached.images.shape[1:]
+        imgs = np.ascontiguousarray(cached.images[idx]).reshape(
+            d, local, h, w, c)
+        labs = cached.labels[idx].reshape(d, local)
+        self.images = jax.device_put(imgs, self._img_sh)
+        self.labels = jax.device_put(labs, self._lab_sh)
 
 
 class EpochSampler:
-    """Per-device local-index batches for the HBM gather step.
+    """Per-epoch window offsets for the slice-based HBM epoch step.
 
-    Each device permutes its own local shard each epoch (shard-local
-    shuffling — same statistical design as the reference's per-worker shard
-    sampling + buffer shuffle, hyperopt.py:119-146).  Yields (B,) int32
-    arrays laid out [device0's B/D indices | device1's ... ].
+    Each step reads the contiguous window [off, off + B/D) from every
+    device's local shard.  Per epoch: non-overlapping windows visited in a
+    random order, with a random phase roll so window boundaries differ
+    between epochs.  Combined with HBMDataset's build-time global
+    permutation (and optional reshuffle), this matches the locality-bounded
+    shuffle quality of the reference's shard-shuffle + 1000-buffer
+    (reference hyperopt.py:119-128).
     """
 
     def __init__(self, hbm: HBMDataset, batch_size: int, seed: int = 0):
@@ -169,32 +230,31 @@ class EpochSampler:
         if batch_size % d != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"data axis size {d}")
+        if batch_size // d > hbm.local_count:
+            raise ValueError(
+                f"per-device batch {batch_size // d} exceeds local shard "
+                f"size {hbm.local_count}")
         self.hbm = hbm
         self.batch_size = batch_size
         self.per_device = batch_size // d
         self.rng = np.random.default_rng(seed)
 
-    def epoch(self, num_steps: Optional[int] = None) -> Iterator[np.ndarray]:
-        d = self.hbm.data_axis_size
+    def epoch_offsets(self, num_steps: Optional[int] = None) -> np.ndarray:
+        """(num_steps,) int32 window offsets into the local shard axis."""
         n_local = self.hbm.local_count
-        steps_per_epoch = max(n_local // self.per_device, 1)
-        steps = steps_per_epoch if num_steps is None else num_steps
-        # (D, n_local) independent permutations, re-drawn when exhausted
-        perms = np.stack([self.rng.permutation(n_local) for _ in range(d)])
-        pos = 0
-        for _ in range(steps):
-            if pos + self.per_device > n_local:
-                perms = np.stack(
-                    [self.rng.permutation(n_local) for _ in range(d)])
-                pos = 0
-            batch = perms[:, pos:pos + self.per_device]  # (D, B/D)
-            pos += self.per_device
-            yield np.ascontiguousarray(batch.reshape(-1).astype(np.int32))
+        bl = self.per_device
+        steps = (max(n_local // bl, 1) if num_steps is None else num_steps)
+        out = []
+        while len(out) < steps:
+            # random phase in [0, bl) then disjoint windows in random order
+            roll = int(self.rng.integers(0, bl)) if n_local - bl >= bl else 0
+            windows = max((n_local - roll) // bl, 1)
+            offs = roll + self.rng.permutation(windows) * bl
+            out.extend(int(o) for o in offs)
+        return np.asarray(out[:steps], np.int32)
 
-    def epoch_matrix(self, num_steps: Optional[int] = None) -> np.ndarray:
-        """(num_steps, B) int32 — one epoch of batches for the scan-based
-        epoch step (irp_tpu.train.step.make_hbm_epoch_step)."""
-        return np.stack(list(self.epoch(num_steps)))
+    def epoch(self, num_steps: Optional[int] = None) -> Iterator[np.ndarray]:
+        yield from self.epoch_offsets(num_steps)
 
     @property
     def steps_per_epoch(self) -> int:

@@ -1,0 +1,227 @@
+"""K-fold hyperopt objective with the three-tier pruning ladder.
+
+Behavioral rebuild of the reference ``objective_kfold`` (reference
+functions/hyperopt.py:27-380):
+
+- 7-dim search space: lr 1e-5..1e-2 log, batch {8,16,32}, wd 1e-6..1e-3
+  log, dropout 0..0.5, augmentation {low,medium,high}, patience 3..6,
+  max_epochs 10..20 (hyperopt.py:45-51)
+- tier-1: per-epoch MedianPruner reports on fold 0 (hyperopt.py:214-221)
+- tier-2: fold-0 best accuracy below ``first_fold_min_acc`` -> pruned
+  (hyperopt.py:236-247)
+- tier-3: running average below 85% of the median of >=20 completed trials
+  -> pruned (hyperopt.py:285-307)
+- objective: best per-epoch cross-fold mean accuracy (epochs seen by all k
+  folds), returned as the 80% t-distribution lower confidence bound
+  (hyperopt.py:323-378); recommended_epochs + run id recorded for the final
+  trainer handoff (hyperopt.py:367-376)
+- device OOM -> -inf (hyperopt.py:313-319; RESOURCE_EXHAUSTED here)
+
+TPU-native differences: folds are served from the single decoded cache
+(no per-trial shard re-reads, cf. dataload.py:78-93), every fold's training
+runs as fused on-device epochs, and batch sizes {8,16,32} are distinct
+static shapes (one compile each, cached across trials).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy import stats
+
+from irp_tpu import tracking
+from irp_tpu.config import (DatasetInfo, HyperoptConfig, ModelConfig,
+                            TrainConfig)
+from irp_tpu.data.kfold import create_stratified_kfolds, shard_class_histogram
+from irp_tpu.data.pipeline import CachedDataset
+from irp_tpu.hyperopt.study import Trial, TrialPruned
+from irp_tpu.train.fit import fit
+
+
+@dataclass
+class HyperoptContext:
+    """Everything a trial needs, prepared once per sweep."""
+
+    cached: CachedDataset  # full train cache (all shards decoded once)
+    info: DatasetInfo
+    hcfg: HyperoptConfig
+    model_base: ModelConfig = ModelConfig()
+    mesh: object = None
+    mode: str = "hbm"
+    # subsampled-epoch caps (reference train.py:19,73)
+    train_samples_per_epoch: Optional[int] = 1024
+    eval_samples: Optional[int] = 512
+    verbose: bool = False
+    # override the search space (tests / restricted sweeps)
+    space_fn: object = None
+
+    def __post_init__(self):
+        shards = list(self.cached.shard_paths or ())
+        hist = {}
+        for p in shards:
+            ids = np.nonzero(np.isin(
+                self.cached.shard_ids,
+                [i for i, q in enumerate(self.cached.shard_paths)
+                 if q == p]))[0]
+            import collections
+            hist[p] = collections.Counter(
+                self.info.class_names[l] for l in self.cached.labels[ids])
+        self._histograms = hist
+        self._shards = shards
+        self._fold_cache: Dict[int, List[List[str]]] = {}
+
+    def folds(self, k: int, seed: int) -> List[List[str]]:
+        key = (k, seed)
+        if key not in self._fold_cache:
+            self._fold_cache[key] = create_stratified_kfolds(
+                self._shards, k=k, seed=seed, histograms=self._histograms)
+        return self._fold_cache[key]
+
+
+def suggest_space(trial: Trial) -> Dict:
+    """The reference's 7-dim space (hyperopt.py:45-51)."""
+    return {
+        "learning_rate": trial.suggest_float("learning_rate", 1e-5, 1e-2,
+                                             log=True),
+        "batch_size": trial.suggest_categorical("batch_size", [8, 16, 32]),
+        "weight_decay": trial.suggest_float("weight_decay", 1e-6, 1e-3,
+                                            log=True),
+        "dropout_rate": trial.suggest_float("dropout_rate", 0.0, 0.5),
+        "augmentation_intensity": trial.suggest_categorical(
+            "augmentation_intensity", ["low", "medium", "high"]),
+        "patience": trial.suggest_int("patience", 3, 6),
+        "max_epochs": trial.suggest_int("max_epochs", 10, 20),
+    }
+
+
+def _is_oom(exc: Exception) -> bool:
+    s = str(exc)
+    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+
+
+def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
+    hp = (ctx.space_fn or suggest_space)(trial)
+    k = ctx.hcfg.k_folds
+    folds = ctx.folds(k, ctx.hcfg.seed)
+
+    with tracking.start_run(
+            run_name=f"optuna_trial_{trial.number}_kfold") as run:
+        run.log_params({**hp, "k_folds": k})
+
+        fold_accuracies: List[float] = []
+        epoch_accuracies: Dict[int, List[float]] = {}
+
+        for fold_idx in range(k):
+            val_shards = folds[fold_idx]
+            train_shards = [s for i in range(k) if i != fold_idx
+                            for s in folds[i]]
+            train_cached = ctx.cached.subset_by_shards(train_shards)
+            val_cached = ctx.cached.subset_by_shards(val_shards)
+
+            model_cfg = ModelConfig(
+                depth=ctx.model_base.depth,
+                num_classes=ctx.info.num_classes,
+                image_size=ctx.model_base.image_size,
+                hidden_dim=ctx.model_base.hidden_dim,
+                dropout_rate=hp["dropout_rate"],
+                trainable_stages=ctx.model_base.trainable_stages,
+                bn_stats_mode=ctx.model_base.bn_stats_mode,
+                compute_dtype=ctx.model_base.compute_dtype,
+                precision=ctx.model_base.precision,
+                pretrained_path=ctx.model_base.pretrained_path)
+            train_cfg = TrainConfig(
+                learning_rate=hp["learning_rate"],
+                weight_decay=hp["weight_decay"],
+                batch_size=hp["batch_size"],
+                max_epochs=hp["max_epochs"],
+                patience=hp["patience"],
+                aug_intensity=hp["augmentation_intensity"],
+                train_samples_per_epoch=ctx.train_samples_per_epoch,
+                eval_samples=ctx.eval_samples,
+                seed=ctx.hcfg.seed)
+
+            def on_epoch_end(epoch, val_acc, _fold=fold_idx):
+                epoch_accuracies.setdefault(epoch, []).append(val_acc)
+                if _fold == 0:
+                    # tier-1: epoch-level median pruning on fold 0
+                    trial.report(val_acc, epoch)
+                    if trial.should_prune():
+                        raise TrialPruned(
+                            f"epoch {epoch + 1}: val_acc {val_acc:.2f}%")
+                return False
+
+            try:
+                result = fit(train_cached, val_cached, ctx.info, model_cfg,
+                             train_cfg, mesh=ctx.mesh, logger=run,
+                             on_epoch_end=on_epoch_end, mode=ctx.mode,
+                             verbose=ctx.verbose)
+            except TrialPruned:
+                raise
+            except Exception as e:  # noqa: BLE001 — OOM -> -inf like ref
+                if _is_oom(e):
+                    return float("-inf")
+                raise
+            best_val_acc = result.best_val_acc
+
+            if fold_idx == 0:
+                # tier-2: first-fold accuracy floor
+                if best_val_acc < ctx.hcfg.first_fold_min_acc:
+                    run.log_params({"pruned_first_fold": True})
+                    run.log_metrics({"first_fold_acc": best_val_acc})
+                    raise TrialPruned(
+                        f"first fold best {best_val_acc:.2f}% < "
+                        f"{ctx.hcfg.first_fold_min_acc:.2f}%")
+                fold_accuracies.append(best_val_acc)
+            else:
+                fold_accuracies.append(best_val_acc)
+                avg = sum(fold_accuracies) / len(fold_accuracies)
+                run.log_metrics(
+                    {f"avg_acc_after_{fold_idx + 1}_folds": avg})
+                completed = [t.value for t in trial.study.get_trials()
+                             if t.state == "COMPLETE"
+                             and t.value is not None]
+                if len(completed) >= ctx.hcfg.progressive_min_trials:
+                    median = float(np.median(completed))
+                    # tier-3: progressive below-85%-of-median
+                    if avg < median * ctx.hcfg.progressive_factor:
+                        run.log_params({"pruned_progressive": True,
+                                        "pruned_after_fold": fold_idx + 1})
+                        run.log_metrics({"avg_acc_at_pruning": avg,
+                                         "median_value_at_pruning": median})
+                        raise TrialPruned(
+                            f"fold {fold_idx + 1}: avg {avg:.2f}% below "
+                            f"85% of median {median:.2f}%")
+
+        # per-epoch cross-fold aggregation (epochs seen by ALL k folds)
+        epoch_avg, epoch_std = {}, {}
+        for epoch, accs in epoch_accuracies.items():
+            if len(accs) == k:
+                epoch_avg[epoch] = float(np.mean(accs))
+                run.log_metrics({"epoch_avg_val_acc": epoch_avg[epoch]},
+                                step=epoch)
+                if k > 1:
+                    epoch_std[epoch] = float(np.std(accs))
+                    run.log_metrics({"epoch_std_val_acc": epoch_std[epoch]},
+                                    step=epoch)
+
+        if not epoch_avg:
+            return float("-inf")
+
+        best_epoch = max(epoch_avg, key=epoch_avg.get)
+        best_avg = epoch_avg[best_epoch]
+        run.log_metrics({"best_avg_epoch": best_epoch,
+                         "best_avg_val_acc": best_avg})
+        run.log_params({"recommended_epochs": best_epoch + 1})
+
+        trial.set_user_attr("tracking_run_id", run.info.run_id)
+
+        if best_epoch in epoch_std:
+            t_crit = stats.t.ppf(ctx.hcfg.confidence, df=k - 1)
+            lower = best_avg - t_crit * epoch_std[best_epoch] / math.sqrt(k)
+            run.log_metrics({"best_std_val_acc": epoch_std[best_epoch],
+                             "lower_confidence_bound": lower})
+            return float(lower)
+        return float(best_avg)

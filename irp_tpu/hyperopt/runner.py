@@ -1,0 +1,72 @@
+"""Study runner: create/resume the study and drive the sweep.
+
+Mirrors ``run_kfold_optuna_optimization`` (reference functions/
+hyperopt.py:386-495): TPESampler(seed) + MedianPruner(20, 10, 1), SQLite
+storage with load_if_exists resume + progress printout, completion
+callback, and the end-of-sweep summary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from irp_tpu import tracking
+from irp_tpu.hyperopt.objective import HyperoptContext, objective_kfold
+from irp_tpu.hyperopt.pruners import MedianPruner
+from irp_tpu.hyperopt.samplers import TPESampler
+from irp_tpu.hyperopt.study import Study, TrialState, create_study
+
+
+def run_kfold_optimization(ctx: HyperoptContext,
+                           n_trials: Optional[int] = None,
+                           verbose: bool = True) -> Study:
+    hcfg = ctx.hcfg
+    n_trials = n_trials if n_trials is not None else hcfg.n_trials
+
+    pruner = MedianPruner(n_startup_trials=hcfg.median_startup_trials,
+                          n_warmup_steps=hcfg.median_warmup_steps,
+                          interval_steps=1)
+    study = create_study(study_name=hcfg.study_name,
+                         storage=f"sqlite:///{hcfg.storage}",
+                         sampler=TPESampler(seed=hcfg.seed),
+                         pruner=pruner,
+                         direction="maximize",
+                         load_if_exists=True)
+
+    prior = study.get_trials()
+    if prior and verbose:
+        print(f"Loaded existing study with {len(prior)} previous trials.")
+        try:
+            print(f"Best value so far: {study.best_value:.2f} "
+                  f"(t-dist lower bound); params:")
+            for k, v in study.best_params.items():
+                print(f"  {k}: {v}")
+        except ValueError:
+            pass
+
+    def progress_callback(study, frozen):
+        if frozen.state == TrialState.COMPLETE:
+            print(f"Trial {frozen.number} completed with value: "
+                  f"{frozen.value:.2f}")
+        elif frozen.state == TrialState.PRUNED:
+            print(f"Trial {frozen.number} pruned at step {frozen.last_step}")
+
+    study.optimize(lambda t: objective_kfold(t, ctx), n_trials,
+                   callbacks=[progress_callback] if verbose else None,
+                   verbose=verbose)
+
+    if verbose:
+        trials = study.get_trials()
+        pruned = [t for t in trials if t.state == TrialState.PRUNED]
+        print("\nK-Fold Study statistics:")
+        print(f"  Number of finished trials: {len(trials)}")
+        print(f"  Number of pruned trials: {len(pruned)}")
+        try:
+            best = study.best_trial
+            print("  Best trial:")
+            print(f"    Value: {best.value:.2f} (t-dist lower bound)")
+            for k, v in best.params.items():
+                print(f"      {k}: {v}")
+        except ValueError:
+            print("  No completed trials yet.")
+    return study

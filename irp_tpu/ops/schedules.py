@@ -19,8 +19,11 @@ def onecycle_cosine(max_lr: float, total_steps: int,
                     final_div_factor: float = 1e4):
     """OneCycleLR(cos) with torch's defaults (torch.optim.lr_scheduler
     .OneCycleLR: pct_start=0.3, div_factor=25, final_div_factor=1e4)."""
+    # transition_steps < 4 makes optax's interval math produce zero-width
+    # segments (NaN lr); tiny cycles (e.g. a 2-epoch final run stepped per
+    # epoch) are clamped to a 4-point cycle.
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(int(total_steps), 1),
+        transition_steps=max(int(total_steps), 4),
         peak_value=max_lr,
         pct_start=pct_start,
         div_factor=div_factor,

@@ -1,0 +1,86 @@
+"""Checkpointing: Orbax for TrainState, npz weights, torch .pth export.
+
+The reference checkpoints via per-epoch ``torch.save(state_dict)`` plus a
+final save logged to MLflow (reference functions/final.py:339-354), and
+restores best weights from an in-memory snapshot (train.py:172-187).
+Here: Orbax (async-capable, sharding-aware) for full TrainState, a simple
+npz format for weights-only, and a torch-state_dict exporter so reference
+tooling can load our final model.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save_weights_npz(path: str, params, batch_stats) -> str:
+    """Flat npz of all weights (portable, no orbax needed)."""
+    flat = {}
+    for coll, tree in (("params", params), ("batch_stats", batch_stats)):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = coll + "/" + "/".join(getattr(p, "key", str(p))
+                                        for p in kp)
+            flat[key] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    return path
+
+
+def load_weights_npz(path: str):
+    """Inverse of save_weights_npz -> (params, batch_stats) nested dicts."""
+    data = np.load(path)
+    out = {"params": {}, "batch_stats": {}}
+    for key in data.files:
+        coll, rest = key.split("/", 1)
+        node = out[coll]
+        parts = rest.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return out["params"], out["batch_stats"]
+
+
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:
+    """Orbax checkpoint of the TrainState (params/batch_stats/opt_state)."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": np.asarray(state.step)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, state):
+    """Restore into an existing TrainState (shapes from ``state``)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step)}
+    restored = ckptr.restore(path, template)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+def export_torch_pth(path: str, params, batch_stats, depth: int = 50) -> str:
+    """Write a torch state_dict .pth the reference stack could load."""
+    import torch
+
+    from irp_tpu.models.convert import flax_variables_to_torch_state_dict
+
+    sd = flax_variables_to_torch_state_dict(
+        {"params": params, "batch_stats": batch_stats}, depth=depth)
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    return path

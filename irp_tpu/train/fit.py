@@ -24,8 +24,7 @@ from irp_tpu.ops.schedules import onecycle_cosine
 from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
 from irp_tpu.train.loop import evaluate, train_epoch, train_model
 from irp_tpu.train.state import create_train_state
-from irp_tpu.train.step import (make_eval_step, make_hbm_train_step,
-                                make_train_step)
+from irp_tpu.train.step import make_eval_step, make_train_step
 
 
 def compute_steps_per_epoch(train_cfg: TrainConfig, n_train: int) -> int:
@@ -87,19 +86,17 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     if mode == "hbm":
         from irp_tpu.train.step import make_hbm_epoch_step
 
-        hbm = HBMDataset(train_cached, mesh)
+        hbm = HBMDataset(train_cached, mesh, shuffle_seed=train_cfg.seed)
         sampler = EpochSampler(hbm, train_cfg.batch_size,
                                seed=train_cfg.seed)
-        epoch_step = make_hbm_epoch_step(mesh, cw, train_cfg.aug_intensity,
-                                         out_size=model_cfg.image_size,
-                                         compute_dtype=dtype)
-        idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        epoch_step = make_hbm_epoch_step(
+            mesh, sampler.per_device, cw, train_cfg.aug_intensity,
+            out_size=model_cfg.image_size, compute_dtype=dtype)
 
         def run_epoch_hbm(state, epoch):
-            idx = sampler.epoch_matrix(steps_per_epoch)
-            idx_dev = jax.device_put(idx, idx_sharding)
+            offsets = sampler.epoch_offsets(steps_per_epoch)
             state, metrics = epoch_step(
-                state, hbm.images, hbm.labels, idx_dev,
+                state, hbm.images, hbm.labels, jnp.asarray(offsets),
                 jax.random.fold_in(train_key, epoch))
             loss = float(jnp.mean(metrics["loss"]))
             acc = float(jnp.mean(metrics["accuracy"])) * 100.0

@@ -35,13 +35,12 @@ from irp_tpu.parallel.mesh import DATA_AXIS
 
 def _augment_normalize(images_u8, key, intensity: str, out_size: int,
                        dtype, mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    b = images_u8.shape[0]
-    keys = jax.random.split(key, b)
-    aug = jax.vmap(lambda im, k: _augment_one(im, k, intensity, out_size))(
-        images_u8, keys)
-    mean = jnp.asarray(mean, jnp.float32)
-    std = jnp.asarray(std, jnp.float32)
-    return ((aug - mean) / std).astype(dtype)
+    """Batch augmentation on the MXU path (einsum crop-resize, vectorized
+    flips/jitter) — see ops.preprocess.augment_batch_fused."""
+    from irp_tpu.ops.preprocess import augment_batch_fused
+
+    return augment_batch_fused(images_u8, key, intensity, out_size,
+                               mean, std, dtype)
 
 
 def _eval_normalize(images_u8, out_size: int, dtype,
@@ -85,35 +84,44 @@ def make_train_step(class_weights=None, intensity: str = "medium",
     return train_step
 
 
-def make_hbm_train_step(mesh, class_weights=None, intensity: str = "medium",
-                        out_size: int = 224, compute_dtype=jnp.bfloat16):
-    """HBM-resident-dataset train step.
+def _slice_batch(data_u8, labels_all, offset, per_device_batch):
+    """Contiguous window (D, bl, ...) -> flat (B, ...) batch.
+
+    dynamic_slice on the local axis of the (D, N/D, ...) sharded layout —
+    no gathers (dataset-sized gathers inside lax.scan proved
+    compile-pathological on TPU), no cross-chip traffic; the (D, bl) ->
+    (D*bl,) reshape is shard-preserving under GSPMD.
+    """
+    im = jax.lax.dynamic_slice_in_dim(data_u8, offset, per_device_batch,
+                                      axis=1)
+    lb = jax.lax.dynamic_slice_in_dim(labels_all, offset, per_device_batch,
+                                      axis=1)
+    return im.reshape((-1,) + im.shape[2:]), lb.reshape(-1)
+
+
+def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
+                        intensity: str = "medium", out_size: int = 224,
+                        compute_dtype=jnp.bfloat16):
+    """Single HBM-resident train step.
 
     Args of the returned fn:
-      state        — TrainState (params replicated / head TP per mesh)
-      data_u8      — (N,256,256,3) uint8, sharded P('data') on samples
-      labels       — (N,) int32, sharded P('data')
-      local_idx    — (B,) int32, sharded P('data'); each device's slice
-                     holds indices into ITS OWN local data shard
-      key          — replicated PRNG key
+      state     — TrainState (params replicated / head TP per mesh)
+      data_u8   — (D, N/D, 256,256,3) uint8, sharded P('data') on dim 0
+      labels    — (D, N/D) int32, same sharding
+      offset    — scalar int32: start of this step's window in every
+                  device's local shard (HBMDataset is pre-shuffled)
+      key       — replicated PRNG key
 
-    The gather runs per-device via shard_map (zero cross-chip traffic),
-    then the global batch (sharded on 'data') flows into the jitted
-    model step; GSPMD inserts the gradient psum.
+    The global batch comes out sharded on 'data'; GSPMD inserts the
+    gradient psum during partitioning.
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
-    gather = jax.shard_map(
-        lambda d, l, i: (d[i], l[i]),
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-    )
-
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, data_u8, labels_all, local_idx, key):
-        images_u8, labels = gather(data_u8, labels_all, local_idx)
+    def train_step(state, data_u8, labels_all, offset, key):
+        images_u8, labels = _slice_batch(data_u8, labels_all, offset,
+                                         per_device_batch)
         aug_key, dropout_key = jax.random.split(key)
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                compute_dtype)
@@ -122,35 +130,30 @@ def make_hbm_train_step(mesh, class_weights=None, intensity: str = "medium",
     return train_step
 
 
-def make_hbm_epoch_step(mesh, class_weights=None, intensity: str = "medium",
-                        out_size: int = 224, compute_dtype=jnp.bfloat16):
+def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
+                        intensity: str = "medium", out_size: int = 224,
+                        compute_dtype=jnp.bfloat16):
     """Scan a whole epoch of train steps inside ONE compiled program.
 
     The single-step path is dispatch-bound on this host (~ms of Python per
-    step vs ~ms of TPU compute); lax.scan over the per-step index batches
+    step vs ~ms of TPU compute); lax.scan over per-step window offsets
     turns an epoch into one XLA invocation — one dispatch, zero per-step
-    host work.  ``idx`` is (num_steps, B) int32, each row laid out like
-    make_hbm_train_step's local_idx; num_steps is static per compilation
-    (bucket epochs to a few sizes to avoid recompiles).
+    host work.  ``offsets`` is (num_steps,) int32 from
+    EpochSampler.epoch_offsets; num_steps is static per compilation
+    (bucket epoch lengths to avoid recompiles).
 
-    Returns (state, metrics) where metrics are per-step (num_steps,) arrays.
+    Returns (state, metrics) with per-step (num_steps,) metric arrays.
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
-    gather = jax.shard_map(
-        lambda d, l, i: (d[i], l[i]),
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-    )
-
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch_step(state, data_u8, labels_all, idx, key):
+    def epoch_step(state, data_u8, labels_all, offsets, key):
         def body(state, step_in):
-            i, idx_row = step_in
+            i, off = step_in
             step_key = jax.random.fold_in(key, i)
-            images_u8, labels = gather(data_u8, labels_all, idx_row)
+            images_u8, labels = _slice_batch(data_u8, labels_all, off,
+                                             per_device_batch)
             aug_key, dropout_key = jax.random.split(step_key)
             x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                    compute_dtype)
@@ -158,9 +161,9 @@ def make_hbm_epoch_step(mesh, class_weights=None, intensity: str = "medium",
                                                    dropout_key, cw)
             return new_state, metrics
 
-        num_steps = idx.shape[0]
+        num_steps = offsets.shape[0]
         state, metrics = jax.lax.scan(
-            body, state, (jnp.arange(num_steps), idx))
+            body, state, (jnp.arange(num_steps), offsets))
         return state, metrics
 
     return epoch_step

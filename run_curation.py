@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""CLI for the offline data-curation workflow.
+
+The reference drives this phase from main.ipynb (reconstructed in SURVEY §3.4):
+ingest -> analyze -> clean -> (optional) embedding outlier removal ->
+224x224 WebDataset shards -> verify.  This CLI runs the same stages.
+
+Usage:
+  python run_curation.py --kaggle-path ~/animals10 --work-dir ./data
+  python run_curation.py --work-dir ./data --skip-ingest --outliers
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kaggle-path", default=None,
+                   help="downloaded Kaggle Animals-10 root (with raw-img/)")
+    p.add_argument("--work-dir", default="./data")
+    p.add_argument("--skip-ingest", action="store_true")
+    p.add_argument("--skip-clean", action="store_true")
+    p.add_argument("--outliers", action="store_true",
+                   help="run embedding-based outlier removal on TPU")
+    p.add_argument("--pretrained", default=None,
+                   help="resnet .pth for outlier feature extraction")
+    p.add_argument("--test-size", type=float, default=0.2)
+    p.add_argument("--samples-per-shard", type=int, default=1000)
+    p.add_argument("--target-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    from irp_tpu.data.curation import (analyze_dataset, clean_image_dataset,
+                                       prepare_animal_dataset,
+                                       process_dataset, verify_webdataset,
+                                       write_analysis_report)
+
+    raw = os.path.join(args.work_dir, "raw")
+    cleaned = os.path.join(args.work_dir, "cleaned")
+    final_src = cleaned
+    wds_dir = os.path.join(args.work_dir, "webdataset")
+
+    if not args.skip_ingest:
+        if not args.kaggle_path:
+            p.error("--kaggle-path required unless --skip-ingest")
+        print("== Ingest ==")
+        prepare_animal_dataset(args.kaggle_path, raw)
+
+    print("== Analyze ==")
+    analysis = analyze_dataset(raw)
+    report = write_analysis_report(
+        analysis, os.path.join(args.work_dir, "dataset_analysis_report.txt"))
+    print(f"Analysis report: {report}")
+
+    if not args.skip_clean:
+        print("== Clean ==")
+        clean_image_dataset(
+            raw, cleaned, analysis=analysis, min_resolution=128,
+            report_path=os.path.join(args.work_dir,
+                                     "dataset_cleaning_report.txt"))
+
+    if args.outliers:
+        print("== Outlier detection (TPU) ==")
+        from irp_tpu.config import ModelConfig
+        from irp_tpu.data.analyze import analyze_webdataset
+        from irp_tpu.data.curation import get_dataset_info
+        from irp_tpu.data.outliers import (create_clean_dataset,
+                                           create_embeddings,
+                                           create_results_dataframe,
+                                           detect_outliers, plot_outliers,
+                                           plot_umap, print_summary)
+        import numpy as np
+        from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
+
+        info = get_dataset_info(cleaned)
+        class_names = sorted(info)
+        images, labels, paths = [], [], []
+        for ci, cls in enumerate(class_names):
+            for path in info[cls]:
+                with open(path, "rb") as f:
+                    images.append(decode_to_rgb256(f.read()))
+                labels.append(ci)
+                paths.append(path)
+        cached = CachedDataset(
+            images=np.stack(images), labels=np.asarray(labels, np.int32),
+            keys=paths, class_names=tuple(class_names))
+        from irp_tpu.data.outliers import extract_features
+
+        mcfg = ModelConfig(pretrained_path=args.pretrained)
+        variables = None
+        if args.pretrained:
+            import jax
+            from irp_tpu.models import (init_classifier,
+                                        load_torch_checkpoint,
+                                        merge_pretrained)
+            _, variables = init_classifier(mcfg, jax.random.PRNGKey(0),
+                                           mcfg.image_size)
+            variables = merge_pretrained(
+                variables, load_torch_checkpoint(args.pretrained))
+        feats, labels_arr, keys = extract_features(cached, mcfg,
+                                                   variables=variables,
+                                                   verbose=True)
+        emb, _ = create_embeddings(feats, labels_arr, verbose=True)
+        cmask, gmask, _ = detect_outliers(emb, labels_arr)
+        df = create_results_dataframe(emb, labels_arr, class_names, keys,
+                                      cmask, gmask)
+        df["path"] = keys
+        plot_umap(df, os.path.join(args.work_dir, "umap.png"))
+        plot_outliers(df, os.path.join(args.work_dir, "outliers.png"))
+        print_summary(df)
+        final_src = os.path.join(args.work_dir, "clean")
+        create_clean_dataset(df, cleaned, final_src)
+
+    print("== Shard creation ==")
+    result = process_dataset(final_src, wds_dir, test_size=args.test_size,
+                             samples_per_shard=args.samples_per_shard,
+                             target_size=args.target_size, seed=args.seed)
+    print("== Verify ==")
+    verify_webdataset(os.path.join(wds_dir, "train-*.tar"))
+    verify_webdataset(os.path.join(wds_dir, "test-*.tar"))
+    print(f"Done: {result['n_train']} train / {result['n_test']} test "
+          f"samples in {wds_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

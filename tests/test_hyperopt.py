@@ -1,0 +1,158 @@
+"""Hyperopt engine tests: distributions, storage resume, TPE, pruner, study."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from irp_tpu.hyperopt import (CategoricalDistribution, FloatDistribution,
+                              IntDistribution, MedianPruner, RandomSampler,
+                              TPESampler, TrialPruned, TrialState,
+                              create_study)
+from irp_tpu.hyperopt.distributions import dump_distribution, load_distribution
+from irp_tpu.hyperopt.storage import SQLiteStorage
+
+
+def test_distribution_roundtrip():
+    for d in (FloatDistribution(1e-5, 1e-2, log=True),
+              IntDistribution(3, 6),
+              CategoricalDistribution(["low", "medium", "high"])):
+        d2 = load_distribution(dump_distribution(d))
+        assert d2 == d
+
+
+def test_float_log_internal():
+    d = FloatDistribution(1e-5, 1e-2, log=True)
+    assert math.isclose(d.to_internal(1e-3), math.log(1e-3))
+    assert math.isclose(d.from_internal(math.log(1e-3)), 1e-3)
+    lo, hi = d.internal_bounds
+    assert math.isclose(lo, math.log(1e-5)) and math.isclose(hi, math.log(1e-2))
+
+
+def test_study_optimize_quadratic(tmp_path):
+    """TPE beats random convergence on a 1-d quadratic."""
+    study = create_study("quad", str(tmp_path / "s.db"),
+                         sampler=TPESampler(seed=0, n_startup_trials=8),
+                         direction="maximize")
+
+    def objective(trial):
+        x = trial.suggest_float("x", -10.0, 10.0)
+        return -(x - 3.0) ** 2
+
+    study.optimize(objective, n_trials=60)
+    assert abs(study.best_params["x"] - 3.0) < 1.5
+    assert len(study.get_trials()) == 60
+
+
+def test_study_resume(tmp_path):
+    path = str(tmp_path / "resume.db")
+    study = create_study("s", path, sampler=RandomSampler(0))
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=5)
+    study.storage.close()
+    # reopen: trials persist, numbering continues
+    study2 = create_study("s", path, sampler=RandomSampler(1))
+    assert len(study2.get_trials()) == 5
+    study2.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=3)
+    trials = study2.get_trials()
+    assert len(trials) == 8
+    assert [t.number for t in trials] == list(range(8))
+    assert study2.best_value <= 1.0
+
+
+def test_resume_marks_orphaned_running_failed(tmp_path):
+    path = str(tmp_path / "orphan.db")
+    storage = SQLiteStorage(path)
+    sid = storage.get_or_create_study("s")
+    t = storage.create_trial(sid)  # left RUNNING (simulated crash)
+    storage.close()
+    study = create_study("s", path)
+    states = [t.state for t in study.get_trials()]
+    assert states == ["FAILED"]
+
+
+def test_pruned_and_failed_states(tmp_path):
+    study = create_study("s", str(tmp_path / "p.db"),
+                         sampler=RandomSampler(0))
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        trial.report(x, 0)
+        if trial.number % 3 == 0:
+            raise TrialPruned("no")
+        if trial.number % 3 == 1:
+            raise RuntimeError("boom")
+        return x
+
+    study.optimize(objective, n_trials=9)
+    states = [t.state for t in study.get_trials()]
+    assert states.count(TrialState.PRUNED) == 3
+    assert states.count(TrialState.FAILED) == 3
+    assert states.count(TrialState.COMPLETE) == 3
+
+
+def test_median_pruner_semantics(tmp_path):
+    study = create_study("mp", str(tmp_path / "mp.db"),
+                         sampler=RandomSampler(0),
+                         pruner=MedianPruner(n_startup_trials=2,
+                                             n_warmup_steps=1))
+
+    # Two good completed trials establish the median
+    def good(trial):
+        trial.suggest_float("x", 0, 1)
+        for step in range(4):
+            trial.report(90.0 + step, step)
+        return 93.0
+
+    study.optimize(good, n_trials=2)
+
+    # A bad trial must be pruned after warmup, not before
+    trial = study.ask()
+    trial.suggest_float("x", 0, 1)
+    trial.report(10.0, 0)
+    assert not trial.should_prune()  # step 0 < warmup 1
+    trial.report(10.0, 1)
+    assert trial.should_prune()
+
+    # A competitive trial is not pruned
+    t2 = study.ask()
+    t2.suggest_float("x", 0, 1)
+    t2.report(95.0, 1)
+    assert not t2.should_prune()
+
+
+def test_tpe_categorical_prefers_good_arm(tmp_path):
+    study = create_study("cat", str(tmp_path / "c.db"),
+                         sampler=TPESampler(seed=1, n_startup_trials=10))
+
+    def objective(trial):
+        arm = trial.suggest_categorical("arm", ["a", "b", "c"])
+        base = {"a": 0.2, "b": 0.9, "c": 0.4}[arm]
+        return base + 0.01 * np.random.default_rng(trial.number).normal()
+
+    study.optimize(objective, n_trials=50)
+    arms = [t.params["arm"] for t in study.get_trials()[-20:]]
+    assert arms.count("b") > 10  # exploits the best arm
+
+
+def test_user_attrs_roundtrip(tmp_path):
+    study = create_study("ua", str(tmp_path / "u.db"),
+                         sampler=RandomSampler(0))
+
+    def objective(trial):
+        trial.suggest_float("x", 0, 1)
+        trial.set_user_attr("tracking_run_id", f"run_{trial.number}")
+        return 1.0
+
+    study.optimize(objective, n_trials=2)
+    trials = study.get_trials()
+    assert trials[0].user_attrs["tracking_run_id"] == "run_0"
+
+
+def test_trial_param_stable_within_trial(tmp_path):
+    study = create_study("stable", str(tmp_path / "st.db"),
+                         sampler=RandomSampler(0))
+    trial = study.ask()
+    a = trial.suggest_float("x", 0, 1)
+    b = trial.suggest_float("x", 0, 1)
+    assert a == b

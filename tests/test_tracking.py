@@ -1,0 +1,92 @@
+"""Tracking store tests: layout, metric history, client read-back."""
+
+import os
+
+import pytest
+
+from irp_tpu import tracking
+
+
+@pytest.fixture(autouse=True)
+def fresh_uri(tmp_path):
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    yield
+    tracking.end_run()
+
+
+def test_experiment_create_and_reuse():
+    a = tracking.set_experiment("animals10")
+    b = tracking.set_experiment("animals10")
+    assert a == b
+    c = tracking.set_experiment("other")
+    assert c != a
+
+
+def test_run_lifecycle_and_layout():
+    tracking.set_experiment("animals10")
+    with tracking.start_run(run_name="optuna_trial_0_kfold") as run:
+        run.log_params({"learning_rate": 1e-3, "batch_size": 32})
+        run.log_metrics({"train_loss": 0.5, "val_acc": 91.0}, step=0)
+        run.log_metrics({"train_loss": 0.4, "val_acc": 93.5}, step=1)
+    root = tracking.get_tracking_uri()
+    run_dir = os.path.join(root, run.info.experiment_id, run.info.run_id)
+    assert os.path.exists(os.path.join(run_dir, "meta.yaml"))
+    with open(os.path.join(run_dir, "params", "learning_rate")) as f:
+        assert f.read() == "0.001"
+    # MLflow metric line format: ts value step
+    with open(os.path.join(run_dir, "metrics", "val_acc")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 2
+    ts, val, step = lines[1].split()
+    assert float(val) == 93.5 and step == "1"
+
+
+def test_client_metric_history_and_search():
+    tracking.set_experiment("animals10")
+    with tracking.start_run(run_name="final_model_full_training") as run:
+        for epoch in range(3):
+            run.log_metrics({"val_acc": 90.0 + epoch}, step=epoch)
+        run.log_params({"recommended_epochs": 12})
+    client = tracking.TrackingClient()
+    hist = client.get_metric_history(run.info.run_id, "val_acc")
+    assert [p.value for p in hist] == [90.0, 91.0, 92.0]
+    assert [p.step for p in hist] == [0, 1, 2]
+    found = client.search_runs("animals10",
+                               run_name="final_model_full_training")
+    assert len(found) == 1
+    assert found[0]["params"]["recommended_epochs"] == "12"
+    assert found[0]["metrics"]["val_acc"] == 92.0
+
+
+def test_artifacts_roundtrip(tmp_path):
+    tracking.set_experiment("animals10")
+    src = tmp_path / "confusion_matrix.png"
+    src.write_bytes(b"\x89PNGfake")
+    with tracking.start_run() as run:
+        run.log_artifact(str(src), "plots")
+        run.log_text("report body", "reports/classification.txt")
+    client = tracking.TrackingClient()
+    arts = client.list_artifacts(run.info.run_id)
+    assert "plots/confusion_matrix.png" in arts
+    assert "reports/classification.txt" in arts
+    p = client.artifact_path(run.info.run_id, "reports/classification.txt")
+    assert open(p).read() == "report body"
+
+
+def test_module_level_api_auto_run():
+    tracking.set_experiment("animals10")
+    tracking.log_metrics({"x": 1.0}, step=0)
+    run = tracking.active_run()
+    assert run is not None
+    tracking.end_run()
+    assert tracking.active_run() is None
+
+
+def test_failed_run_status(tmp_path):
+    tracking.set_experiment("animals10")
+    with pytest.raises(RuntimeError):
+        with tracking.start_run(run_name="boom") as run:
+            raise RuntimeError("x")
+    client = tracking.TrackingClient()
+    info = client.get_run(run.info.run_id)["info"]
+    assert info["status"] == "FAILED"

@@ -67,15 +67,26 @@ def test_hbm_dataset_and_sampler(cached):
     mesh = make_mesh(MeshConfig(data=8, model=1))
     hbm = HBMDataset(data, mesh)
     assert hbm.n_padded % 8 == 0
-    assert hbm.images.shape[0] == hbm.n_padded
+    assert hbm.images.shape == (8, hbm.local_count, SIZE, SIZE, 3)
+    assert hbm.labels.shape == (8, hbm.local_count)
     sampler = EpochSampler(hbm, batch_size=16, seed=0)
-    batches = list(sampler.epoch())
-    assert all(b.shape == (16,) for b in batches)
-    assert all(b.max() < hbm.local_count for b in batches)
-    # Each device segment sees every local index exactly once per epoch
-    # (before reshuffle kicks in).
-    seg0 = np.concatenate([b[:2] for b in batches])
-    assert len(np.unique(seg0)) == len(seg0)
+    offs = sampler.epoch_offsets()
+    assert offs.shape == (sampler.steps_per_epoch,)
+    bl = sampler.per_device
+    assert offs.max() <= hbm.local_count - bl and offs.min() >= 0
+    # windows within one sampling pass are disjoint (ask for fewer steps
+    # than one pass produces)
+    offs5 = sampler.epoch_offsets(5)
+    assert len(np.unique(offs5)) == 5
+    assert np.all(np.diff(np.sort(offs5)) >= bl)
+    # reshuffle changes device placement of samples
+    before = np.asarray(hbm.labels)
+    hbm.reshuffle(seed=123)
+    after = np.asarray(hbm.labels)
+    assert (before != after).any()
+    # label multiset preserved (same samples, new order)
+    np.testing.assert_array_equal(np.sort(before, axis=None),
+                                  np.sort(after, axis=None))
 
 
 def test_cache_roundtrip_and_reuse(cached, tmp_path):
