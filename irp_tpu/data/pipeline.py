@@ -261,6 +261,37 @@ class EpochSampler:
         return max(self.hbm.local_count // self.per_device, 1)
 
 
+def prefetch_to_device(iterator, mesh=None, buffer_size: int = 2):
+    """Double-buffered host->device prefetch for the streaming path.
+
+    Wraps a host batch iterator; device_put of batch t+1 overlaps with the
+    compute consuming batch t (JAX transfers are async).  For datasets that
+    don't fit in HBM — the HBM-resident path needs no prefetching at all.
+    """
+    import collections
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from irp_tpu.parallel.mesh import DATA_AXIS
+
+    def put(batch):
+        if mesh is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        def put_leaf(x):
+            ndim = getattr(x, "ndim", 0)
+            spec = P(DATA_AXIS, *([None] * (ndim - 1))) if ndim else P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.tree_util.tree_map(put_leaf, batch)
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= buffer_size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def iter_host_batches(cached: CachedDataset, batch_size: int,
                       shuffle: bool = False, seed: int = 0,
                       drop_last: bool = False,

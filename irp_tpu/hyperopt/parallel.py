@@ -1,0 +1,87 @@
+"""Parallel trial scheduling across TPU devices.
+
+The reference runs Optuna trials strictly sequentially in-process
+(reference functions/hyperopt.py:476; its SQLite storage would permit
+multi-process workers but none are launched — SURVEY §2 parallelism table).
+On a TPU slice, small-model trials don't need all chips: this runner
+partitions the devices into single-device (or small) sub-meshes and runs
+one trial per sub-mesh concurrently from worker threads.  The SQLite
+storage is the coordination point (thread-safe ask/tell), exactly like
+Optuna's distributed mode — so trial-level parallelism composes with
+study resume.
+
+Threads, not processes: each worker owns a distinct device, so the GIL
+only serializes cheap host-side dispatch while device compute overlaps.
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from typing import Callable, List, Optional
+
+import jax
+
+from irp_tpu.config import MeshConfig
+from irp_tpu.hyperopt.study import Study, TrialState, TrialPruned
+from irp_tpu.parallel.mesh import make_mesh
+
+
+def run_parallel_trials(study: Study, objective_for_mesh: Callable,
+                        n_trials: int, devices_per_trial: int = 1,
+                        max_workers: Optional[int] = None,
+                        verbose: bool = False) -> None:
+    """Run ``n_trials`` trials, scheduled across per-worker sub-meshes.
+
+    ``objective_for_mesh(trial, mesh) -> float`` — the objective receives
+    the sub-mesh its trial must run on (pass it as HyperoptContext.mesh).
+    """
+    devices = jax.devices()
+    n_workers = len(devices) // devices_per_trial
+    if max_workers is not None:
+        n_workers = min(n_workers, max_workers)
+    n_workers = max(min(n_workers, n_trials), 1)
+
+    meshes = []
+    for w in range(n_workers):
+        devs = devices[w * devices_per_trial:(w + 1) * devices_per_trial]
+        meshes.append(make_mesh(MeshConfig(data=len(devs), model=1),
+                                devices=devs))
+
+    remaining = threading.Semaphore(n_trials)
+    lock = threading.Lock()
+    counter = {"done": 0}
+
+    def worker(mesh, wid):
+        while remaining.acquire(blocking=False):
+            trial = study.ask()
+            try:
+                value = objective_for_mesh(trial, mesh)
+            except TrialPruned:
+                study.tell(trial, TrialState.PRUNED)
+                state = "PRUNED"
+            except Exception as e:  # noqa: BLE001
+                study.tell(trial, TrialState.FAILED)
+                state = f"FAILED ({e!r})"
+                if verbose:
+                    traceback.print_exc()
+            else:
+                import math
+
+                v = float(value)
+                ok = math.isfinite(v)
+                study.tell(trial, TrialState.COMPLETE if ok
+                           else TrialState.FAILED, v if ok else None)
+                state = f"{v:.3f}" if ok else "FAILED (non-finite)"
+            with lock:
+                counter["done"] += 1
+                if verbose:
+                    print(f"[worker {wid}] trial {trial.number}: {state} "
+                          f"({counter['done']}/{n_trials})")
+
+    threads = [threading.Thread(target=worker, args=(m, i), daemon=True)
+               for i, m in enumerate(meshes)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()

@@ -67,6 +67,23 @@ def test_r50_param_count_matches_torchvision(vars50_shapes):
     assert head == (2048 * 512 + 512) + (512 * 10 + 10)
 
 
+@pytest.mark.parametrize("depth,tv_total,fc_in", [
+    (34, 21_797_672, 512),
+    (101, 44_549_160, 2048),
+    (152, 60_192_808, 2048),
+])
+def test_model_zoo_param_counts(depth, tv_total, fc_in):
+    """Whole ResNet family matches torchvision param counts (minus fc)."""
+    cfg = ModelConfig(depth=depth, num_classes=10, compute_dtype="float32")
+    model = Classifier(config=cfg)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, dummy,
+                           train=False))
+    backbone = n_params(shapes["params"]["backbone"])
+    assert backbone == tv_total - (fc_in * 1000 + 1000)
+
+
 def test_r18_param_count_matches_torchvision(model18):
     """torchvision resnet18: 11,689,512 incl. fc(512->1000)."""
     _, variables = model18
