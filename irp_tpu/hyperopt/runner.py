@@ -19,7 +19,13 @@ from irp_tpu.hyperopt.study import Study, TrialState, create_study
 
 def run_kfold_optimization(ctx: HyperoptContext,
                            n_trials: Optional[int] = None,
-                           verbose: bool = True) -> Study:
+                           verbose: bool = True,
+                           parallel_workers: Optional[int] = None,
+                           devices_per_trial: int = 1) -> Study:
+    """Drive the sweep.  With ``parallel_workers`` set, trials are
+    scheduled concurrently across per-worker TPU sub-meshes
+    (irp_tpu.hyperopt.parallel) instead of the reference's sequential
+    in-process loop (reference hyperopt.py:476)."""
     hcfg = ctx.hcfg
     n_trials = n_trials if n_trials is not None else hcfg.n_trials
 
@@ -51,9 +57,22 @@ def run_kfold_optimization(ctx: HyperoptContext,
         elif frozen.state == TrialState.PRUNED:
             print(f"Trial {frozen.number} pruned at step {frozen.last_step}")
 
-    study.optimize(lambda t: objective_kfold(t, ctx), n_trials,
-                   callbacks=[progress_callback] if verbose else None,
-                   verbose=verbose)
+    if parallel_workers and parallel_workers > 1:
+        import dataclasses
+
+        from irp_tpu.hyperopt.parallel import run_parallel_trials
+
+        def objective_for_mesh(trial, mesh):
+            mesh_ctx = dataclasses.replace(ctx, mesh=mesh)
+            return objective_kfold(trial, mesh_ctx)
+
+        run_parallel_trials(study, objective_for_mesh, n_trials,
+                            devices_per_trial=devices_per_trial,
+                            max_workers=parallel_workers, verbose=verbose)
+    else:
+        study.optimize(lambda t: objective_kfold(t, ctx), n_trials,
+                       callbacks=[progress_callback] if verbose else None,
+                       verbose=verbose)
 
     if verbose:
         trials = study.get_trials()

@@ -150,12 +150,22 @@ def train_final_model(study, train_cached: CachedDataset,
         run.log_params({**bp, "final_epochs": final_epochs,
                         "mode": mode})
 
-        ckpt_cb = None
+        on_epoch_end = None
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
+            # Per-epoch checkpoints (reference final.py:339-340 saves a
+            # state_dict every epoch).
+            def on_epoch_end(epoch, val_acc, state=None):
+                if state is not None:
+                    save_weights_npz(
+                        os.path.join(checkpoint_dir,
+                                     f"checkpoint_epoch_{epoch:03d}.npz"),
+                        state.params, state.batch_stats)
+                return False
 
         result = fit(train_cached, None, info, model_cfg, train_cfg,
-                     mesh=mesh, logger=run, mode=mode, verbose=verbose)
+                     mesh=mesh, logger=run, mode=mode, verbose=verbose,
+                     on_epoch_end=on_epoch_end)
         state = result.state
 
         artifact_dir = tempfile.mkdtemp(prefix="irp_final_")

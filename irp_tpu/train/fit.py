@@ -91,7 +91,8 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                                seed=train_cfg.seed)
         epoch_step = make_hbm_epoch_step(
             mesh, sampler.per_device, cw, train_cfg.aug_intensity,
-            out_size=model_cfg.image_size, compute_dtype=dtype)
+            out_size=model_cfg.image_size, compute_dtype=dtype,
+            label_smoothing=train_cfg.label_smoothing)
 
         def run_epoch_hbm(state, epoch):
             offsets = sampler.epoch_offsets(steps_per_epoch)
@@ -104,7 +105,8 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     elif mode == "stream":
         step = make_train_step(cw, train_cfg.aug_intensity,
                                out_size=model_cfg.image_size,
-                               compute_dtype=dtype)
+                               compute_dtype=dtype,
+                               label_smoothing=train_cfg.label_smoothing)
 
         def run_step(state, batch, key):
             images, labels, _ = batch

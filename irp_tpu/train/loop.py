@@ -163,8 +163,13 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
         else:
             no_improve += 1
 
-        if on_epoch_end is not None and on_epoch_end(epoch, val.accuracy):
-            break
+        if on_epoch_end is not None:
+            try:
+                stop = on_epoch_end(epoch, val.accuracy, state=state)
+            except TypeError:
+                stop = on_epoch_end(epoch, val.accuracy)
+            if stop:
+                break
         if no_improve >= patience:
             if verbose:
                 print(f"Early stopping after {epoch + 1} epochs")

@@ -51,13 +51,15 @@ def _eval_normalize(images_u8, out_size: int, dtype,
     return ((x - mean) / std).astype(dtype)
 
 
-def _loss_and_updates(state, x, labels, dropout_key, class_weights):
+def _loss_and_updates(state, x, labels, dropout_key, class_weights,
+                      label_smoothing: float = 0.0):
     def loss_fn(params):
         logits, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             x, train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_key})
-        loss = weighted_cross_entropy(logits, labels, class_weights)
+        loss = weighted_cross_entropy(logits, labels, class_weights,
+                                      label_smoothing)
         return loss, (logits, mutated)
 
     (loss, (logits, mutated)), grads = jax.value_and_grad(
@@ -69,7 +71,8 @@ def _loss_and_updates(state, x, labels, dropout_key, class_weights):
 
 
 def make_train_step(class_weights=None, intensity: str = "medium",
-                    out_size: int = 224, compute_dtype=jnp.bfloat16):
+                    out_size: int = 224, compute_dtype=jnp.bfloat16,
+                    label_smoothing: float = 0.0):
     """Streaming-batch train step: (state, images_u8, labels, key)."""
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
@@ -79,7 +82,8 @@ def make_train_step(class_weights=None, intensity: str = "medium",
         aug_key, dropout_key = jax.random.split(key)
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                compute_dtype)
-        return _loss_and_updates(state, x, labels, dropout_key, cw)
+        return _loss_and_updates(state, x, labels, dropout_key, cw,
+                                 label_smoothing)
 
     return train_step
 
@@ -101,7 +105,8 @@ def _slice_batch(data_u8, labels_all, offset, per_device_batch):
 
 def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                         intensity: str = "medium", out_size: int = 224,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        label_smoothing: float = 0.0):
     """Single HBM-resident train step.
 
     Args of the returned fn:
@@ -125,14 +130,16 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
         aug_key, dropout_key = jax.random.split(key)
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                compute_dtype)
-        return _loss_and_updates(state, x, labels, dropout_key, cw)
+        return _loss_and_updates(state, x, labels, dropout_key, cw,
+                                 label_smoothing)
 
     return train_step
 
 
 def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                         intensity: str = "medium", out_size: int = 224,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        label_smoothing: float = 0.0):
     """Scan a whole epoch of train steps inside ONE compiled program.
 
     The single-step path is dispatch-bound on this host (~ms of Python per
@@ -158,7 +165,8 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
             x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                    compute_dtype)
             new_state, metrics = _loss_and_updates(state, x, labels,
-                                                   dropout_key, cw)
+                                                   dropout_key, cw,
+                                                   label_smoothing)
             return new_state, metrics
 
         num_steps = offsets.shape[0]

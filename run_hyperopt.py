@@ -37,6 +37,9 @@ def main(argv=None):
                    help="force the CPU backend (debug)")
     p.add_argument("--quick", action="store_true",
                    help="smoke-test space: 2 epochs, bs 16, low aug")
+    p.add_argument("--parallel-workers", type=int, default=None,
+                   help="run trials concurrently on per-worker TPU "
+                        "sub-meshes (default: sequential)")
     p.add_argument("--image-size", type=int, default=224)
     args = p.parse_args(argv)
 
@@ -94,7 +97,8 @@ def main(argv=None):
 
     ctx = HyperoptContext(cached=cached, info=info, hcfg=hcfg,
                           model_base=model_base, space_fn=space_fn)
-    run_kfold_optimization(ctx, n_trials=args.n_trials, verbose=True)
+    run_kfold_optimization(ctx, n_trials=args.n_trials, verbose=True,
+                           parallel_workers=args.parallel_workers)
     return 0
 
 

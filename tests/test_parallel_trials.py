@@ -54,6 +54,42 @@ def test_parallel_trials_handle_failures(tmp_path):
     assert states.count("COMPLETE") == 3
 
 
+@pytest.mark.slow
+def test_parallel_kfold_runner(tmp_path):
+    """run_kfold_optimization(parallel_workers=2): real k-fold trials on
+    per-worker single-device sub-meshes."""
+    from irp_tpu.config import HyperoptConfig, ModelConfig
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.pipeline import build_cache
+    from irp_tpu.hyperopt import HyperoptContext
+    from irp_tpu.hyperopt.runner import run_kfold_optimization
+    from irp_tpu import tracking
+    from tests.synth import make_synthetic_shards
+    from tests.test_hyperopt_e2e import tiny_space
+
+    meta = make_synthetic_shards(str(tmp_path / "s"), num_classes=2,
+                                 per_class=24, samples_per_shard=24,
+                                 seed=6, size=64)
+    info = analyze_webdataset(meta["shards"])
+    cached = build_cache(meta["shards"], info.class_names, size=64)
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    tracking.set_experiment("par_kfold")
+    hcfg = HyperoptConfig(n_trials=2, k_folds=2, first_fold_min_acc=0.0,
+                          median_startup_trials=50,
+                          storage=str(tmp_path / "s.db"),
+                          study_name="par_kfold", seed=0)
+    ctx = HyperoptContext(
+        cached=cached, info=info, hcfg=hcfg,
+        model_base=ModelConfig(depth=18, num_classes=2, image_size=56,
+                               compute_dtype="float32"),
+        train_samples_per_epoch=48, eval_samples=24, space_fn=tiny_space)
+    study = run_kfold_optimization(ctx, n_trials=2, verbose=False,
+                                   parallel_workers=2)
+    trials = study.get_trials()
+    assert len(trials) == 2
+    assert all(t.state == "COMPLETE" for t in trials)
+
+
 def test_prefetch_to_device():
     from irp_tpu.config import MeshConfig
     from irp_tpu.data.pipeline import prefetch_to_device
