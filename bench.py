@@ -67,9 +67,12 @@ def main():
     # One compiled program per measured block: lax.scan over the steps
     # (single dispatch — the per-step Python overhead on this 1-core host
     # otherwise dominates and hides true device time).
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    aug_dtype = jnp.dtype(os.environ.get("BENCH_AUG_DTYPE", "bfloat16"))
     step = make_hbm_epoch_step(mesh, sampler.per_device, class_weights=None,
                                intensity=intensity, out_size=224,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=jnp.bfloat16, unroll=unroll,
+                               aug_work_dtype=aug_dtype)
 
     key = jax.random.PRNGKey(1)
     # Warmup: compile + first execution (the first run of a fresh

@@ -23,3 +23,13 @@ explicitly (``irp_tpu.config``).
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (heavy deps import lazily inside the modules).
+from irp_tpu.config import (  # noqa: F401,E402
+    DataConfig,
+    DatasetInfo,
+    HyperoptConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)

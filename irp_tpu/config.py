@@ -10,7 +10,7 @@ CLASS_NAMES / CLASS_WEIGHTS``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Sequence
+from typing import Mapping
 
 # ImageNet normalization constants (reference functions/dataload.py:13-16).
 IMAGENET_MEAN = (0.485, 0.456, 0.406)

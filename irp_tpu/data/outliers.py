@@ -25,9 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from dataclasses import dataclass
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -31,8 +31,6 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from irp_tpu.config import DatasetInfo
-from irp_tpu.data.tar import iter_samples
 
 CACHE_SIZE = 256  # everything downstream starts from Resize((256,256))
 

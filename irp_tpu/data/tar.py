@@ -20,7 +20,7 @@ import json
 import os
 import tarfile
 import time
-from typing import Dict, Iterable, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 
 def _split_key_ext(name: str):

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 from scipy import stats
@@ -35,7 +35,7 @@ from scipy import stats
 from irp_tpu import tracking
 from irp_tpu.config import (DatasetInfo, HyperoptConfig, ModelConfig,
                             TrainConfig)
-from irp_tpu.data.kfold import create_stratified_kfolds, shard_class_histogram
+from irp_tpu.data.kfold import create_stratified_kfolds
 from irp_tpu.data.pipeline import CachedDataset
 from irp_tpu.hyperopt.study import Trial, TrialPruned
 from irp_tpu.train.fit import fit

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import threading
 import traceback
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
 

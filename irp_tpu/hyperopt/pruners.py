@@ -8,8 +8,6 @@ the objective (see irp_tpu.hyperopt.objective).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

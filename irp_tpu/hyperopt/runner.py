@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-from irp_tpu import tracking
 from irp_tpu.hyperopt.objective import HyperoptContext, objective_kfold
 from irp_tpu.hyperopt.pruners import MedianPruner
 from irp_tpu.hyperopt.samplers import TPESampler

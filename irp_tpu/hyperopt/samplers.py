@@ -16,13 +16,11 @@ frequencies.  Pruned trials participate with their last intermediate value
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import numpy as np
 
-from irp_tpu.hyperopt.distributions import (CategoricalDistribution,
-                                            FloatDistribution,
-                                            IntDistribution)
+from irp_tpu.hyperopt.distributions import CategoricalDistribution
 
 
 class RandomSampler:

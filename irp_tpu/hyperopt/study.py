@@ -17,8 +17,8 @@ from typing import Any, Callable, List, Optional, Sequence
 from irp_tpu.hyperopt.distributions import (CategoricalDistribution,
                                             FloatDistribution,
                                             IntDistribution)
-from irp_tpu.hyperopt.pruners import MedianPruner, NopPruner
-from irp_tpu.hyperopt.samplers import RandomSampler, TPESampler
+from irp_tpu.hyperopt.pruners import NopPruner
+from irp_tpu.hyperopt.samplers import TPESampler
 from irp_tpu.hyperopt.storage import FrozenTrial, SQLiteStorage
 
 

@@ -13,8 +13,6 @@ see irp_tpu.parallel.mesh.param_sharding_rules).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

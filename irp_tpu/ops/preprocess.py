@@ -225,10 +225,14 @@ def resample_crop_batch(x, tops, lefts, heights, widths, out_size: int):
         tops, heights)   # (B, out, H)
     rx = jax.vmap(lambda l, s: interp_matrix(l, s, w, out_size))(
         lefts, widths)   # (B, out, W)
+    # keep the contraction in x's dtype (bf16 work_dtype stays bf16 on the
+    # MXU with f32 accumulation, instead of promoting the whole image)
+    ry = ry.astype(x.dtype)
+    rx = rx.astype(x.dtype)
     tmp = jnp.einsum("boh,bhwc->bowc", ry, x,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.einsum("bpw,bowc->bopc", rx, tmp,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _sample_rrc_boxes(key, batch: int, h: int, w: int,
@@ -250,36 +254,44 @@ def _sample_rrc_boxes(key, batch: int, h: int, w: int,
 
 def color_jitter_batch(x, key, brightness: float, contrast: float,
                        saturation: float, hue: float):
-    """Batch-vectorized ColorJitter (same factor laws as color_jitter)."""
+    """Batch-vectorized ColorJitter (same factor laws as color_jitter).
+
+    Factors are cast to x.dtype so a bf16 work_dtype stays bf16 end to end
+    (no silent f32 promotion of the whole image).
+    """
     b = x.shape[0]
+    dt = x.dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
     kb, kc, ks, kh = jax.random.split(key, 4)
     if brightness > 0:
         f = jax.random.uniform(kb, (b, 1, 1, 1),
                                minval=max(0.0, 1 - brightness),
-                               maxval=1 + brightness)
-        x = jnp.clip(f * x, 0.0, 1.0)
+                               maxval=1 + brightness).astype(dt)
+        x = jnp.clip(f * x, zero, one)
     if contrast > 0:
         f = jax.random.uniform(kc, (b, 1, 1, 1),
                                minval=max(0.0, 1 - contrast),
-                               maxval=1 + contrast)
-        mean_gray = jnp.mean(_grayscale(x), axis=(1, 2, 3),
-                             keepdims=True)
-        x = jnp.clip(_blend(x, mean_gray, f), 0.0, 1.0)
+                               maxval=1 + contrast).astype(dt)
+        mean_gray = jnp.mean(_grayscale(x).astype(jnp.float32),
+                             axis=(1, 2, 3), keepdims=True).astype(dt)
+        x = jnp.clip(_blend(x, mean_gray, f), zero, one)
     if saturation > 0:
         f = jax.random.uniform(ks, (b, 1, 1, 1),
                                minval=max(0.0, 1 - saturation),
-                               maxval=1 + saturation)
-        x = jnp.clip(_blend(x, _grayscale(x), f), 0.0, 1.0)
+                               maxval=1 + saturation).astype(dt)
+        x = jnp.clip(_blend(x, _grayscale(x), f), zero, one)
     if hue > 0:
-        shift = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
+        shift = jax.random.uniform(kh, (b, 1, 1),
+                                   minval=-hue, maxval=hue).astype(dt)
         h_, s_, v_ = _rgb_to_hsv(x)
-        x = _hsv_to_rgb((h_ + shift) % 1.0, s_, v_)
+        x = _hsv_to_rgb((h_ + shift) % one, s_, v_)
     return x
 
 
 def augment_batch_fused(images_u8, key, intensity: str, out_size: int,
                         mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                        dtype=jnp.bfloat16):
+                        dtype=jnp.bfloat16, work_dtype=jnp.float32):
     """Batch-level augmentation built from MXU-friendly primitives.
 
     This is the train-step hot path: flips as masked reverses, RRC as two
@@ -288,7 +300,10 @@ def augment_batch_fused(images_u8, key, intensity: str, out_size: int,
     semantics distributionally.
     """
     b, h, w = images_u8.shape[0], images_u8.shape[1], images_u8.shape[2]
-    x = images_u8.astype(jnp.float32) / 255.0
+    # work_dtype=bfloat16 halves the HBM traffic of the float image; its
+    # ~2/255 rounding is below augmentation noise (training-path only —
+    # the eval path stays f32).
+    x = images_u8.astype(work_dtype) / jnp.asarray(255.0, work_dtype)
     k_h, k_v, k_crop, k_jit, k_rot = jax.random.split(key, 5)
 
     do_h = jax.random.bernoulli(k_h, shape=(b, 1, 1, 1))
@@ -313,7 +328,7 @@ def augment_batch_fused(images_u8, key, intensity: str, out_size: int,
 
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
-    return ((x - mean) / std).astype(dtype)
+    return ((x.astype(jnp.float32) - mean) / std).astype(dtype)
 
 
 def _augment_one(img_u8, key, intensity: str, out_size: int):

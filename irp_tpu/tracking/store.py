@@ -21,7 +21,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 _DEFAULT_URI = os.environ.get("IRP_TRACKING_URI", "./mlruns")

@@ -11,7 +11,7 @@ tooling can load our final model.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -14,14 +14,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from irp_tpu.config import DatasetInfo, ModelConfig, TrainConfig
 from irp_tpu.data.pipeline import (CachedDataset, EpochSampler, HBMDataset,
                                    iter_host_batches)
 from irp_tpu.models import init_classifier, load_torch_checkpoint, merge_pretrained
 from irp_tpu.ops.schedules import onecycle_cosine
-from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
+from irp_tpu.parallel.mesh import make_mesh, shard_variables
 from irp_tpu.train.loop import evaluate, train_epoch, train_model
 from irp_tpu.train.state import create_train_state
 from irp_tpu.train.step import make_eval_step, make_train_step
@@ -89,10 +88,14 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         hbm = HBMDataset(train_cached, mesh, shuffle_seed=train_cfg.seed)
         sampler = EpochSampler(hbm, train_cfg.batch_size,
                                seed=train_cfg.seed)
+        # bf16 training also augments in bf16 (half the HBM traffic;
+        # quantization is below augmentation noise); f32 stays f32.
+        aug_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
         epoch_step = make_hbm_epoch_step(
             mesh, sampler.per_device, cw, train_cfg.aug_intensity,
             out_size=model_cfg.image_size, compute_dtype=dtype,
-            label_smoothing=train_cfg.label_smoothing)
+            label_smoothing=train_cfg.label_smoothing,
+            aug_work_dtype=aug_dtype)
 
         def run_epoch_hbm(state, epoch):
             offsets = sampler.epoch_offsets(steps_per_epoch)
@@ -113,10 +116,15 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             return step(state, images, labels, key)
 
         def batches_for_epoch(epoch):
-            return iter_host_batches(train_cached, train_cfg.batch_size,
-                                     shuffle=True,
-                                     seed=train_cfg.seed + epoch,
-                                     pad_final=True)
+            from irp_tpu.data.pipeline import prefetch_to_device
+
+            host_iter = iter_host_batches(
+                train_cached, train_cfg.batch_size, shuffle=True,
+                seed=train_cfg.seed + epoch, pad_final=True)
+            # double-buffered device prefetch: transfer of batch t+1
+            # overlaps compute of batch t (bigger-than-HBM fallback path)
+            return prefetch_to_device(
+                ((im, lb, n) for im, lb, n in host_iter), mesh=mesh)
     else:
         raise ValueError(f"unknown mode: {mode}")
 

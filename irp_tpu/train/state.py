@@ -12,7 +12,7 @@ Adam moments at all (optax.masked), saving 2x their size in optimizer HBM.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ import optax
 from flax import struct
 
 from irp_tpu.config import ModelConfig, TrainConfig
-from irp_tpu.models.resnet import STAGE_NAMES
 
 
 class TrainState(struct.PyTreeNode):

@@ -21,26 +21,27 @@ Two step flavors:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from irp_tpu.models.classifier import weighted_cross_entropy
-from irp_tpu.ops.preprocess import _augment_one, center_crop
+from irp_tpu.ops.preprocess import center_crop
 from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD
-from irp_tpu.parallel.mesh import DATA_AXIS
 
 
 def _augment_normalize(images_u8, key, intensity: str, out_size: int,
-                       dtype, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                       dtype, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                       work_dtype=None):
     """Batch augmentation on the MXU path (einsum crop-resize, vectorized
     flips/jitter) — see ops.preprocess.augment_batch_fused."""
+    import jax.numpy as _jnp
+
     from irp_tpu.ops.preprocess import augment_batch_fused
 
     return augment_batch_fused(images_u8, key, intensity, out_size,
-                               mean, std, dtype)
+                               mean, std, dtype,
+                               work_dtype=work_dtype or _jnp.float32)
 
 
 def _eval_normalize(images_u8, out_size: int, dtype,
@@ -139,7 +140,8 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
 def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                         intensity: str = "medium", out_size: int = 224,
                         compute_dtype=jnp.bfloat16,
-                        label_smoothing: float = 0.0):
+                        label_smoothing: float = 0.0, unroll: int = 1,
+                        aug_work_dtype=None):
     """Scan a whole epoch of train steps inside ONE compiled program.
 
     The single-step path is dispatch-bound on this host (~ms of Python per
@@ -163,7 +165,8 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                                              per_device_batch)
             aug_key, dropout_key = jax.random.split(step_key)
             x = _augment_normalize(images_u8, aug_key, intensity, out_size,
-                                   compute_dtype)
+                                   compute_dtype,
+                                   work_dtype=aug_work_dtype)
             new_state, metrics = _loss_and_updates(state, x, labels,
                                                    dropout_key, cw,
                                                    label_smoothing)
@@ -171,7 +174,7 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
 
         num_steps = offsets.shape[0]
         state, metrics = jax.lax.scan(
-            body, state, (jnp.arange(num_steps), offsets))
+            body, state, (jnp.arange(num_steps), offsets), unroll=unroll)
         return state, metrics
 
     return epoch_step

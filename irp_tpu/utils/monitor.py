@@ -9,7 +9,7 @@ helpers (the reference has no profiler at all, SURVEY §5).
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, Optional
+from typing import Dict
 
 
 def device_memory_stats() -> Dict[str, Dict[str, float]]:

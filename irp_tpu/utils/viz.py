@@ -10,7 +10,6 @@ files (Agg backend) so they work headless and log as artifacts.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence
 
 import matplotlib

@@ -18,7 +18,7 @@ from irp_tpu.models import flax_variables_to_torch_state_dict, init_classifier
 
 def _fidelity(depth, image_size, batch=2, atol=1e-3):
     torch = pytest.importorskip("torch")
-    from tests.torch_resnet import TorchAnimalClassifier
+    from irp_tpu.models.torch_ref import TorchAnimalClassifier
 
     cfg = ModelConfig(depth=depth, num_classes=10, image_size=image_size,
                       dropout_rate=0.0, compute_dtype="float32",
