@@ -10,4 +10,7 @@ from irp_tpu.data.pipeline import (  # noqa: F401
     build_cache,
     decode_to_rgb256,
     iter_host_batches,
+    prefetch_to_device,
 )
+# curation + outliers are import-heavy (PIL/pandas/matplotlib paths) and
+# stay as explicit submodule imports: irp_tpu.data.curation / .outliers
