@@ -302,6 +302,64 @@ def analyze_dataset(dataset_path: str, seed: int = 0) -> DatasetAnalysis:
                            sample_images_by_class=samples)
 
 
+def display_dataset_report(analysis: DatasetAnalysis,
+                           report_path: Optional[str] = None,
+                           sample_grid_path: Optional[str] = None) -> dict:
+    """Render the analysis as pandas tables (printed) + optional text
+    mirror + sample-image grid (reference data_curation.py:89-281 renders
+    Jupyter Markdown tables, mirrors dataset_analysis_report.txt, and
+    saves sample_images.png)."""
+    import pandas as pd
+
+    counts = analysis.class_counts
+    class_table = pd.DataFrame({
+        "class": list(analysis.class_names),
+        "images": [counts.get(c, 0) for c in analysis.class_names],
+    })
+    class_table["share_%"] = (100.0 * class_table["images"]
+                              / max(analysis.total_images, 1)).round(2)
+    quality = pd.DataFrame({
+        "flag": ["grayscale", "rgba", "duplicates", "corrupted",
+                 "below_224", "below_128", "below_64", "below_32"],
+        "count": [len(analysis.grayscale_images),
+                  len(analysis.rgba_images),
+                  len(analysis.duplicate_pairs),
+                  len(analysis.corrupted_files),
+                  analysis.small_image_counts["below_224"],
+                  analysis.small_image_counts["below_128"],
+                  analysis.small_image_counts["below_64"],
+                  analysis.small_image_counts["below_32"]],
+    })
+    print(f"Dataset: {analysis.root} — {analysis.total_images} images, "
+          f"{len(analysis.class_names)} classes, "
+          f"formats {', '.join(analysis.formats)}")
+    print(class_table.to_string(index=False))
+    print(quality.to_string(index=False))
+    if analysis.resolution_stats:
+        print(pd.Series(analysis.resolution_stats).round(1).to_string())
+
+    out = {"class_table": class_table, "quality_table": quality}
+    if report_path:
+        out["report_path"] = write_analysis_report(analysis, report_path)
+    if sample_grid_path and analysis.sample_images_by_class:
+        from PIL import Image
+
+        from irp_tpu.utils.viz import plot_image_grid
+
+        images, titles = [], []
+        for cls, path in sorted(analysis.sample_images_by_class.items()):
+            try:
+                with Image.open(path) as img:
+                    images.append(np.asarray(img.convert("RGB")))
+                titles.append(cls)
+            except OSError:
+                continue
+        out["sample_grid_path"] = plot_image_grid(
+            images, titles, sample_grid_path,
+            suptitle="Sample images by class")
+    return out
+
+
 def write_analysis_report(analysis: DatasetAnalysis, path: str) -> str:
     """Plain-text report mirroring dataset_analysis_report.txt."""
     lines = ["DATASET ANALYSIS REPORT", "=" * 23, "",

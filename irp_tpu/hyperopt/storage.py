@@ -82,9 +82,16 @@ class SQLiteStorage:
         if path != ":memory:":
             d = os.path.dirname(os.path.abspath(path))
             os.makedirs(d, exist_ok=True)
-        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn = sqlite3.connect(path, check_same_thread=False,
+                                     timeout=30.0)
         self._lock = threading.Lock()
         with self._lock, self._conn:
+            if path != ":memory:":
+                # WAL + busy timeout: concurrent trial workers (threads or
+                # separate processes a la Optuna distributed mode) contend
+                # on this file.
+                self._conn.execute("PRAGMA journal_mode=WAL")
+                self._conn.execute("PRAGMA busy_timeout=30000")
             self._conn.executescript(_SCHEMA)
 
     # -- studies ---------------------------------------------------------

@@ -1,0 +1,74 @@
+"""CLI glue tests (in-process main() calls, no subprocess)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def fake_kaggle(tmp_path):
+    rng = np.random.default_rng(0)
+    root = tmp_path / "kaggle" / "raw-img"
+    for ci, ital in enumerate(["cane", "gatto"]):
+        (root / ital).mkdir(parents=True)
+        for i in range(12):
+            arr = rng.integers(0, 255, (240, 240, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / ital / f"i{i}.jpg")
+    return str(tmp_path / "kaggle")
+
+
+def test_run_curation_cli(fake_kaggle, tmp_path, capsys):
+    import run_curation
+
+    work = str(tmp_path / "work")
+    rc = run_curation.main([
+        "--kaggle-path", fake_kaggle, "--work-dir", work,
+        "--samples-per-shard", "10", "--test-size", "0.25",
+        "--target-size", "64"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(work,
+                                       "dataset_analysis_report.txt"))
+    assert os.path.exists(os.path.join(work, "dataset_cleaning_report.txt"))
+    import glob
+
+    assert glob.glob(os.path.join(work, "webdataset", "train-*.tar"))
+    assert glob.glob(os.path.join(work, "webdataset", "test-*.tar"))
+
+
+def test_run_hyperopt_cli_no_shards(tmp_path, capsys):
+    import run_hyperopt
+
+    rc = run_hyperopt.main(["--data-dir", str(tmp_path / "none"), "--cpu"])
+    assert rc == 1
+    assert "No train shards" in capsys.readouterr().err
+
+
+def test_display_dataset_report(fake_kaggle, tmp_path, capsys):
+    from irp_tpu.data.curation import analyze_dataset, display_dataset_report
+    from irp_tpu.data.curation import prepare_animal_dataset
+
+    prepare_animal_dataset(fake_kaggle, str(tmp_path / "raw"), verbose=False)
+    analysis = analyze_dataset(str(tmp_path / "raw"))
+    out = display_dataset_report(
+        analysis, report_path=str(tmp_path / "r.txt"),
+        sample_grid_path=str(tmp_path / "samples.png"))
+    text = capsys.readouterr().out
+    assert "dog" in text and "images" in text
+    assert out["class_table"]["images"].sum() == 24
+    assert os.path.getsize(out["sample_grid_path"]) > 0
+    assert os.path.exists(out["report_path"])
+
+
+def test_run_fidelity_cli(tmp_path):
+    import run_fidelity
+    from tests.synth import make_synthetic_shards
+
+    meta = make_synthetic_shards(str(tmp_path), num_classes=2, per_class=6,
+                                 samples_per_shard=12, seed=0, size=224,
+                                 prefix="test")
+    rc = run_fidelity.main([
+        "--shards", os.path.join(str(tmp_path), "test-*.tar"),
+        "--samples", "4", "--depth", "18", "--num-classes", "2", "--cpu"])
+    assert rc == 0
