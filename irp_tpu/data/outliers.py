@@ -120,6 +120,9 @@ def knn(x: np.ndarray, k: int, block: int = 1024):
 
     xd = jnp.asarray(x, jnp.float32)
     n = xd.shape[0]
+    if n < 2:
+        return (np.zeros((n, 0), np.int32), np.zeros((n, 0), np.float32))
+    k = min(k, n - 1)  # top_k crashes when k exceeds the row length
     sq = jnp.sum(xd * xd, axis=1)
 
     @jax.jit

@@ -59,7 +59,9 @@ class IntDistribution:
     def internal_bounds(self) -> Tuple[float, float]:
         if self.log:
             return math.log(self.low), math.log(self.high)
-        return float(self.low), float(self.high)
+        # half-open +-0.5 so rounding gives every integer (incl. the
+        # endpoints) equal probability under a uniform internal draw
+        return self.low - 0.5 + 1e-9, self.high + 0.5 - 1e-9
 
 
 @dataclass(frozen=True)

@@ -69,10 +69,12 @@ def run_parallel_trials(study: Study, objective_for_mesh: Callable,
                 import math
 
                 v = float(value)
-                ok = math.isfinite(v)
-                study.tell(trial, TrialState.COMPLETE if ok
-                           else TrialState.FAILED, v if ok else None)
-                state = f"{v:.3f}" if ok else "FAILED (non-finite)"
+                if math.isnan(v):
+                    study.tell(trial, TrialState.FAILED)
+                    state = "FAILED (nan)"
+                else:
+                    study.tell(trial, TrialState.COMPLETE, v)
+                    state = f"{v:.3f}"
             with lock:
                 counter["done"] += 1
                 if verbose:

@@ -38,6 +38,8 @@ CREATE TABLE IF NOT EXISTS trials (
     datetime_complete REAL,
     FOREIGN KEY (study_id) REFERENCES studies (study_id)
 );
+CREATE UNIQUE INDEX IF NOT EXISTS ix_trials_study_number
+    ON trials (study_id, number);
 CREATE TABLE IF NOT EXISTS trial_params (
     trial_id INTEGER NOT NULL,
     param_name TEXT NOT NULL,
@@ -97,7 +99,8 @@ class SQLiteStorage:
     # -- studies ---------------------------------------------------------
     def get_or_create_study(self, study_name: str,
                             direction: str = "maximize",
-                            load_if_exists: bool = True) -> int:
+                            load_if_exists: bool = True,
+                            fail_orphans: bool = True) -> int:
         with self._lock, self._conn:
             row = self._conn.execute(
                 "SELECT study_id, direction FROM studies WHERE study_name=?",
@@ -105,10 +108,15 @@ class SQLiteStorage:
             if row is not None:
                 if not load_if_exists:
                     raise ValueError(f"study {study_name!r} already exists")
-                # mark orphaned RUNNING trials failed (dead process resume)
-                self._conn.execute(
-                    "UPDATE trials SET state='FAILED' "
-                    "WHERE study_id=? AND state='RUNNING'", (row[0],))
+                if fail_orphans:
+                    # mark orphaned RUNNING trials failed (dead-process
+                    # resume).  Pass fail_orphans=False when joining a
+                    # study that other worker processes are actively
+                    # running against — their in-flight trials are not
+                    # orphans.
+                    self._conn.execute(
+                        "UPDATE trials SET state='FAILED' "
+                        "WHERE study_id=? AND state='RUNNING'", (row[0],))
                 return row[0]
             cur = self._conn.execute(
                 "INSERT INTO studies (study_name, direction, created_at) "
@@ -124,17 +132,26 @@ class SQLiteStorage:
 
     # -- trials ----------------------------------------------------------
     def create_trial(self, study_id: int) -> FrozenTrial:
-        with self._lock, self._conn:
-            row = self._conn.execute(
-                "SELECT COALESCE(MAX(number), -1) + 1 FROM trials "
-                "WHERE study_id=?", (study_id,)).fetchone()
-            number = row[0]
-            cur = self._conn.execute(
-                "INSERT INTO trials (study_id, number, state, datetime_start)"
-                " VALUES (?,?,?,?)", (study_id, number, "RUNNING",
-                                      time.time()))
-            return FrozenTrial(trial_id=cur.lastrowid, number=number,
-                               state="RUNNING", value=None)
+        # SELECT MAX + INSERT races across processes; the unique
+        # (study_id, number) index turns a lost race into an
+        # IntegrityError we retry (thread-level races are already
+        # serialized by self._lock).
+        for _ in range(64):
+            with self._lock, self._conn:
+                row = self._conn.execute(
+                    "SELECT COALESCE(MAX(number), -1) + 1 FROM trials "
+                    "WHERE study_id=?", (study_id,)).fetchone()
+                number = row[0]
+                try:
+                    cur = self._conn.execute(
+                        "INSERT INTO trials (study_id, number, state, "
+                        "datetime_start) VALUES (?,?,?,?)",
+                        (study_id, number, "RUNNING", time.time()))
+                except sqlite3.IntegrityError:
+                    continue  # another process claimed this number
+                return FrozenTrial(trial_id=cur.lastrowid, number=number,
+                                   state="RUNNING", value=None)
+        raise RuntimeError("could not allocate a trial number")
 
     def set_param(self, trial_id: int, name: str, value: Any,
                   distribution) -> None:

@@ -10,6 +10,7 @@ trial.set_user_attr, study.best_trial/best_params/best_value.
 from __future__ import annotations
 
 import math
+import threading
 import time
 import traceback
 from typing import Any, Callable, List, Optional, Sequence
@@ -65,8 +66,11 @@ class Trial:
     def _suggest(self, name: str, dist) -> Any:
         if name in self._frozen.params:
             return self._frozen.params[name]
-        value = self.study.sampler.sample(self.study, self._frozen, name,
-                                          dist)
+        with self.study._sampler_lock:
+            # numpy Generators aren't thread-safe; parallel trial workers
+            # (hyperopt.parallel) share this sampler
+            value = self.study.sampler.sample(self.study, self._frozen,
+                                              name, dist)
         self.study.storage.set_param(self.trial_id, name, value, dist)
         self._frozen.params[name] = value
         self._frozen.distributions[name] = dist
@@ -107,6 +111,7 @@ class Study:
         self.study_id = storage.get_or_create_study(study_name, direction,
                                                     load_if_exists)
         self.direction = storage.study_direction(self.study_id)
+        self._sampler_lock = threading.Lock()
 
     # -- introspection ---------------------------------------------------
     def get_trials(self) -> List[FrozenTrial]:
@@ -170,10 +175,13 @@ class Study:
                     traceback.print_exc()
             else:
                 value = float(value)
-                state = (TrialState.COMPLETE if math.isfinite(value)
-                         else TrialState.FAILED)
-                self.tell(trial, state,
-                          value if math.isfinite(value) else None)
+                # NaN -> FAILED; -inf stays COMPLETE(-inf): the reference's
+                # OOM penalty participates in the tier-3 median and steers
+                # the sampler away (best_trial filters non-finite).
+                if math.isnan(value):
+                    self.tell(trial, TrialState.FAILED)
+                else:
+                    self.tell(trial, TrialState.COMPLETE, value)
                 if verbose:
                     print(f"trial {trial.number}: {value:.4f} "
                           f"({time.time() - t0:.1f}s)")

@@ -57,7 +57,11 @@ def recommended_epochs_from_study(study, fallback_factor: float = 0.8,
             return int(run["params"]["recommended_epochs"])
         except Exception as e:  # noqa: BLE001 — mirror reference fallback
             print(f"Could not retrieve early stopping info: {e}")
-    return int(best.params["max_epochs"] * fallback_factor)
+    max_epochs = best.params.get("max_epochs")
+    if max_epochs is None:
+        print("best trial has no max_epochs param; defaulting to 10 epochs")
+        return 10
+    return int(max_epochs * fallback_factor)
 
 
 def visualize_classifications(preds: np.ndarray, labels: np.ndarray,
@@ -236,8 +240,9 @@ def display_model_visualizations(experiment: str = "animals10",
     if not runs:
         print(f"No runs named {run_name!r} in experiment {experiment!r}")
         return []
-    run_id = runs[-1]["info"].get("run_id") or runs[-1]["info"].get(
-        "run_uuid")
+    # latest by start_time (directory order is random uuid order)
+    latest = max(runs, key=lambda r: int(r["info"].get("start_time", 0)))
+    run_id = latest["info"].get("run_id") or latest["info"].get("run_uuid")
     artifacts = [a for a in client.list_artifacts(run_id)
                  if a.endswith(".png")]
     paths = [client.artifact_path(run_id, a) for a in artifacts]

@@ -47,6 +47,20 @@ def build_schedule(train_cfg: TrainConfig, steps_per_epoch: int):
     return onecycle_cosine(train_cfg.learning_rate, total)
 
 
+# jit closures are compile-cache keys: rebuilding a step factory per fold
+# would recompile the scanned ResNet program ~2k times across a 200-trial
+# sweep.  Memoize factories on their full configuration (mesh included —
+# parallel trial workers use distinct sub-meshes).
+_STEP_MEMO: dict = {}
+
+
+def _memo_step(kind, factory, key):
+    full_key = (kind,) + key
+    if full_key not in _STEP_MEMO:
+        _STEP_MEMO[full_key] = factory()
+    return _STEP_MEMO[full_key]
+
+
 @dataclass
 class FitResult:
     state: object
@@ -91,11 +105,17 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         # bf16 training also augments in bf16 (half the HBM traffic;
         # quantization is below augmentation noise); f32 stays f32.
         aug_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
-        epoch_step = make_hbm_epoch_step(
-            mesh, sampler.per_device, cw, train_cfg.aug_intensity,
-            out_size=model_cfg.image_size, compute_dtype=dtype,
-            label_smoothing=train_cfg.label_smoothing,
-            aug_work_dtype=aug_dtype)
+        cw_key = tuple(cw.tolist()) if cw is not None else None
+        epoch_step = _memo_step(
+            "hbm_epoch",
+            lambda: make_hbm_epoch_step(
+                mesh, sampler.per_device, cw, train_cfg.aug_intensity,
+                out_size=model_cfg.image_size, compute_dtype=dtype,
+                label_smoothing=train_cfg.label_smoothing,
+                aug_work_dtype=aug_dtype),
+            (mesh, sampler.per_device, cw_key, train_cfg.aug_intensity,
+             model_cfg.image_size, str(dtype),
+             train_cfg.label_smoothing, str(aug_dtype)))
 
         def run_epoch_hbm(state, epoch):
             offsets = sampler.epoch_offsets(steps_per_epoch)
@@ -106,10 +126,15 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             acc = float(jnp.mean(metrics["accuracy"])) * 100.0
             return state, loss, acc
     elif mode == "stream":
-        step = make_train_step(cw, train_cfg.aug_intensity,
-                               out_size=model_cfg.image_size,
-                               compute_dtype=dtype,
-                               label_smoothing=train_cfg.label_smoothing)
+        cw_key = tuple(cw.tolist()) if cw is not None else None
+        step = _memo_step(
+            "stream",
+            lambda: make_train_step(
+                cw, train_cfg.aug_intensity,
+                out_size=model_cfg.image_size, compute_dtype=dtype,
+                label_smoothing=train_cfg.label_smoothing),
+            (cw_key, train_cfg.aug_intensity, model_cfg.image_size,
+             str(dtype), train_cfg.label_smoothing))
 
         def run_step(state, batch, key):
             images, labels, _ = batch
@@ -118,9 +143,12 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         def batches_for_epoch(epoch):
             from irp_tpu.data.pipeline import prefetch_to_device
 
+            # drop_last: a wrap-padded tail batch would double-weight the
+            # duplicated samples in the gradient; with per-epoch shuffling
+            # a dropped tail is unbiased (jit needs static batch shapes)
             host_iter = iter_host_batches(
                 train_cached, train_cfg.batch_size, shuffle=True,
-                seed=train_cfg.seed + epoch, pad_final=True)
+                seed=train_cfg.seed + epoch, drop_last=True)
             # double-buffered device prefetch: transfer of batch t+1
             # overlaps compute of batch t (bigger-than-HBM fallback path)
             return prefetch_to_device(
@@ -128,8 +156,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     else:
         raise ValueError(f"unknown mode: {mode}")
 
-    eval_step = make_eval_step(out_size=model_cfg.image_size,
-                               compute_dtype=dtype)
+    eval_step = _memo_step(
+        "eval", lambda: make_eval_step(out_size=model_cfg.image_size,
+                                       compute_dtype=dtype),
+        (model_cfg.image_size, str(dtype)))
 
     def run_epoch(state, epoch):
         if mode == "hbm":
@@ -140,9 +170,9 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
 
     def eval_fn(state):
         if val_cached is None or len(val_cached) == 0:
-            from irp_tpu.train.loop import EvalResult
-            return EvalResult(0.0, 0.0, np.zeros(0, int), np.zeros(0, int),
-                              np.zeros((0, info.num_classes)))
+            # no validation set: train_model skips early stopping and
+            # best-weight restore (the last epoch's weights are final)
+            return None
         return evaluate(state, eval_step, val_cached,
                         batch_size=train_cfg.batch_size,
                         max_samples=train_cfg.eval_samples,

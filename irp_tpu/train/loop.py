@@ -126,7 +126,10 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
     """Early-stopped multi-epoch fit (reference train.py:111-189).
 
     ``run_epoch(state, epoch) -> (state, train_loss, train_acc_pct)``
-    ``eval_fn(state) -> EvalResult``
+    ``eval_fn(state) -> EvalResult | None`` — None means "no validation
+    set" (the final full-training run, reference final.py:282-330 trains
+    without a val split): no early stopping and no best-weight restore —
+    the LAST epoch's weights are returned, never a stale snapshot.
     ``on_epoch_end(epoch, val_acc) -> True to stop`` (pruning hook for the
     hyperopt tiers, reference hyperopt.py:214-247).
     Returns (state_with_best_weights, history, best_val_acc).
@@ -143,34 +146,38 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
 
         history["train_loss"].append(train_loss)
         history["train_acc"].append(train_acc)
-        history["val_loss"].append(val.loss)
-        history["val_acc"].append(val.accuracy)
+        history["val_loss"].append(val.loss if val else math.nan)
+        history["val_acc"].append(val.accuracy if val else math.nan)
 
         if verbose:
+            val_str = (f"val {val.loss:.4f}/{val.accuracy:.2f}%"
+                       if val else "no val")
             print(f"Epoch {epoch + 1}/{max_epochs}  "
-                  f"train {train_loss:.4f}/{train_acc:.2f}%  "
-                  f"val {val.loss:.4f}/{val.accuracy:.2f}%")
+                  f"train {train_loss:.4f}/{train_acc:.2f}%  {val_str}")
         if logger is not None:
-            logger.log_metrics({
-                "train_loss": train_loss, "train_acc": train_acc,
-                "val_loss": val.loss, "val_acc": val.accuracy,
-            }, step=epoch)
+            metrics = {"train_loss": train_loss, "train_acc": train_acc}
+            if val is not None:
+                metrics.update({"val_loss": val.loss,
+                                "val_acc": val.accuracy})
+            logger.log_metrics(metrics, step=epoch)
 
-        if val.accuracy > best_val_acc:
-            best_val_acc = val.accuracy
-            best_snapshot = snapshot_weights(state)
-            no_improve = 0
-        else:
-            no_improve += 1
+        if val is not None:
+            if val.accuracy > best_val_acc:
+                best_val_acc = val.accuracy
+                best_snapshot = snapshot_weights(state)
+                no_improve = 0
+            else:
+                no_improve += 1
 
         if on_epoch_end is not None:
+            val_acc = val.accuracy if val is not None else math.nan
             try:
-                stop = on_epoch_end(epoch, val.accuracy, state=state)
+                stop = on_epoch_end(epoch, val_acc, state=state)
             except TypeError:
-                stop = on_epoch_end(epoch, val.accuracy)
+                stop = on_epoch_end(epoch, val_acc)
             if stop:
                 break
-        if no_improve >= patience:
+        if val is not None and no_improve >= patience:
             if verbose:
                 print(f"Early stopping after {epoch + 1} epochs")
             break

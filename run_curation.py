@@ -61,6 +61,8 @@ def main(argv=None):
             raw, cleaned, analysis=analysis, min_resolution=128,
             report_path=os.path.join(args.work_dir,
                                      "dataset_cleaning_report.txt"))
+    else:
+        final_src = raw  # no cleaned/ dir exists when cleaning is skipped
 
     if args.outliers:
         print("== Outlier detection (TPU) ==")
@@ -119,8 +121,10 @@ def main(argv=None):
                              samples_per_shard=args.samples_per_shard,
                              target_size=args.target_size, seed=args.seed)
     print("== Verify ==")
-    verify_webdataset(os.path.join(wds_dir, "train-*.tar"))
-    verify_webdataset(os.path.join(wds_dir, "test-*.tar"))
+    verify_webdataset(os.path.join(wds_dir, "train-*.tar"),
+                      target_size=args.target_size)
+    verify_webdataset(os.path.join(wds_dir, "test-*.tar"),
+                      target_size=args.target_size)
     print(f"Done: {result['n_train']} train / {result['n_test']} test "
           f"samples in {wds_dir}")
     return 0

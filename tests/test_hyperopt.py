@@ -149,6 +149,74 @@ def test_user_attrs_roundtrip(tmp_path):
     assert trials[0].user_attrs["tracking_run_id"] == "run_0"
 
 
+def test_neg_inf_objective_stays_complete(tmp_path):
+    """OOM-style -inf penalties must be COMPLETE(-inf) — they participate
+    in the tier-3 progressive median like the reference's Optuna study —
+    while best_trial still skips them; NaN stays FAILED."""
+    study = create_study("inf", str(tmp_path / "inf.db"),
+                         sampler=RandomSampler(0))
+
+    def objective(trial):
+        trial.suggest_float("x", 0, 1)
+        if trial.number == 0:
+            return float("-inf")
+        if trial.number == 1:
+            return float("nan")
+        return 1.0
+
+    study.optimize(objective, n_trials=3)
+    trials = study.get_trials()
+    assert trials[0].state == TrialState.COMPLETE
+    assert trials[0].value == float("-inf")
+    assert trials[1].state == TrialState.FAILED
+    assert study.best_trial.number == 2
+
+
+def test_int_sampling_endpoint_unbiased(tmp_path):
+    """Endpoints of suggest_int must not be under-sampled (uniform over
+    [low-0.5, high+0.5) before rounding)."""
+    from irp_tpu.hyperopt.distributions import IntDistribution
+
+    d = IntDistribution(3, 6)
+    rng = np.random.default_rng(0)
+    lo, hi = d.internal_bounds
+    draws = [d.from_internal(v) for v in rng.uniform(lo, hi, 20000)]
+    counts = np.bincount(draws, minlength=7)[3:7]
+    freqs = counts / counts.sum()
+    assert np.all(np.abs(freqs - 0.25) < 0.02), freqs
+
+
+def test_tpe_log_domain_convergence(tmp_path):
+    """TPE must exploit in LOG space for log params (lr-style 1e-5..1e-2):
+    optimum at 3e-4 is found despite spanning 3 decades."""
+    study = create_study("logq", str(tmp_path / "lq.db"),
+                         sampler=TPESampler(seed=3, n_startup_trials=10))
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-2, log=True)
+        return -(np.log10(lr) - np.log10(3e-4)) ** 2
+
+    study.optimize(objective, n_trials=80)
+    best = study.best_params["lr"]
+    assert 1e-4 < best < 1e-3, best
+    # later trials concentrate near the optimum
+    late = [t.params["lr"] for t in study.get_trials()[-20:]]
+    frac_near = np.mean([(1e-4 < v < 1e-3) for v in late])
+    assert frac_near > 0.5
+
+
+def test_tpe_int_param(tmp_path):
+    study = create_study("intq", str(tmp_path / "iq.db"),
+                         sampler=TPESampler(seed=4, n_startup_trials=8))
+
+    def objective(trial):
+        n = trial.suggest_int("n", 1, 20)
+        return -abs(n - 13)
+
+    study.optimize(objective, n_trials=60)
+    assert abs(study.best_params["n"] - 13) <= 2
+
+
 def test_trial_param_stable_within_trial(tmp_path):
     study = create_study("stable", str(tmp_path / "st.db"),
                          sampler=RandomSampler(0))

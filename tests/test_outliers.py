@@ -89,6 +89,38 @@ def test_fuzzy_graph_properties():
     assert all((c, r) in pairs for r, c in sample)
 
 
+def test_umap_supervision_tightens_overlapping_classes():
+    """With target_weight supervision, two heavily-overlapping classes
+    separate more than without (reference uses supervised UMAP precisely
+    for this, data_curation.py:700-706)."""
+    rng = np.random.default_rng(7)
+    n = 80
+    x = rng.normal(0, 1.0, (2 * n, 6)).astype(np.float32)
+    x[n:, 0] += 1.0  # heavy overlap
+    y = np.array([0] * n + [1] * n)
+
+    def separation(emb):
+        c0, c1 = emb[:n].mean(0), emb[n:].mean(0)
+        within = (np.linalg.norm(emb[:n] - c0, axis=1).mean()
+                  + np.linalg.norm(emb[n:] - c1, axis=1).mean()) / 2
+        return np.linalg.norm(c0 - c1) / max(within, 1e-9)
+
+    sup = separation(umap_2d(x, y, n_neighbors=10, n_epochs=60, seed=0))
+    unsup = separation(umap_2d(x, None, n_neighbors=10, n_epochs=60,
+                               seed=0))
+    assert sup > unsup * 1.5, (sup, unsup)
+
+
+def test_knn_block_boundary():
+    """Results identical across block sizes (incl. non-divisible)."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(130, 5)).astype(np.float32)
+    i1, d1 = knn(x, 4, block=130)
+    i2, d2 = knn(x, 4, block=64)  # 130 = 64+64+2 (ragged tail)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
 def test_detect_outliers_end_to_end():
     rng = np.random.default_rng(5)
     x, y = _blobs(rng, n_per=60)
