@@ -31,7 +31,6 @@ def main():
     from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
     from irp_tpu.data.pipeline import CachedDataset, EpochSampler, HBMDataset
     from irp_tpu.models import init_classifier
-    from irp_tpu.ops.schedules import onecycle_cosine
     from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
     from irp_tpu.train.state import create_train_state
     from irp_tpu.train.step import make_hbm_epoch_step
@@ -58,9 +57,8 @@ def main():
 
     model, variables = init_classifier(model_cfg, jax.random.PRNGKey(0), 224)
     variables = shard_variables(mesh, variables)
-    schedule = onecycle_cosine(train_cfg.learning_rate, steps * (reps + 1))
     state = create_train_state(model, variables, train_cfg, model_cfg,
-                               schedule)
+                               steps_per_epoch=steps)
 
     hbm = HBMDataset(cached, mesh)
     sampler = EpochSampler(hbm, batch_size, seed=0)

@@ -103,13 +103,14 @@ class Trial:
 class Study:
     def __init__(self, study_name: str, storage: SQLiteStorage,
                  sampler=None, pruner=None, direction: str = "maximize",
-                 load_if_exists: bool = True):
+                 load_if_exists: bool = True, fail_orphans: bool = True):
         self.study_name = study_name
         self.storage = storage
         self.sampler = sampler or TPESampler()
         self.pruner = pruner or NopPruner()
         self.study_id = storage.get_or_create_study(study_name, direction,
-                                                    load_if_exists)
+                                                    load_if_exists,
+                                                    fail_orphans)
         self.direction = storage.study_direction(self.study_id)
         self._sampler_lock = threading.Lock()
 
@@ -175,9 +176,10 @@ class Study:
                     traceback.print_exc()
             else:
                 value = float(value)
-                # NaN -> FAILED; -inf stays COMPLETE(-inf): the reference's
-                # OOM penalty participates in the tier-3 median and steers
-                # the sampler away (best_trial filters non-finite).
+                # NaN -> FAILED; -inf stays COMPLETE(-inf): the reference
+                # records the OOM penalty as a completed value, which the
+                # tier-3 progressive median sees (the TPE sampler itself
+                # filters non-finite objectives; best_trial too).
                 if math.isnan(value):
                     self.tell(trial, TrialState.FAILED)
                 else:
@@ -194,12 +196,17 @@ class Study:
 
 def create_study(study_name: str, storage: str | SQLiteStorage,
                  sampler=None, pruner=None, direction: str = "maximize",
-                 load_if_exists: bool = True) -> Study:
+                 load_if_exists: bool = True,
+                 fail_orphans: bool = True) -> Study:
     """storage: path to a sqlite file, 'sqlite:///<path>' URI (Optuna
-    style, reference hyperopt.py:407), or a SQLiteStorage instance."""
+    style, reference hyperopt.py:407), or a SQLiteStorage instance.
+
+    ``fail_orphans=False`` when JOINING a study that other live worker
+    processes are running against (their RUNNING trials are not orphans
+    of a dead process)."""
     if isinstance(storage, str):
         if storage.startswith("sqlite:///"):
             storage = storage[len("sqlite:///"):]
         storage = SQLiteStorage(storage)
     return Study(study_name, storage, sampler, pruner, direction,
-                 load_if_exists)
+                 load_if_exists, fail_orphans)

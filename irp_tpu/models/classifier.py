@@ -93,9 +93,25 @@ def weighted_cross_entropy(logits, labels, class_weights=None,
     return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
+# Module instances memoized on their (frozen, hashable) config: TrainState
+# stores model.apply as static jit aux data, and bound-method equality needs
+# the SAME module instance — a fresh Classifier per fit() would retrace the
+# compiled train step every call (linen Modules are immutable; sharing is
+# safe).
+_MODEL_MEMO = {}
+
+
+def get_classifier(cfg: ModelConfig) -> Classifier:
+    model = _MODEL_MEMO.get(cfg)
+    if model is None:
+        model = Classifier(config=cfg)
+        _MODEL_MEMO[cfg] = model
+    return model
+
+
 def init_classifier(cfg: ModelConfig, rng: jax.Array, image_size: int = 224):
     """Initialize the classifier; returns (module, variables)."""
-    model = Classifier(config=cfg)
+    model = get_classifier(cfg)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)
     return model, variables

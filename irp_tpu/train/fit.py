@@ -19,7 +19,6 @@ from irp_tpu.config import DatasetInfo, ModelConfig, TrainConfig
 from irp_tpu.data.pipeline import (CachedDataset, EpochSampler, HBMDataset,
                                    iter_host_batches)
 from irp_tpu.models import init_classifier, load_torch_checkpoint, merge_pretrained
-from irp_tpu.ops.schedules import onecycle_cosine
 from irp_tpu.parallel.mesh import make_mesh, shard_variables
 from irp_tpu.train.loop import evaluate, train_epoch, train_model
 from irp_tpu.train.state import create_train_state
@@ -35,16 +34,6 @@ def compute_steps_per_epoch(train_cfg: TrainConfig, n_train: int) -> int:
         return full
     cap = max(train_cfg.train_samples_per_epoch // train_cfg.batch_size, 1)
     return min(full, cap)
-
-
-def build_schedule(train_cfg: TrainConfig, steps_per_epoch: int):
-    """OneCycle over the whole run (train.py:115-121).  In 'epoch' mode the
-    lr advances once per epoch (final.py:330 quirk kept as a mode)."""
-    if train_cfg.scheduler_step == "epoch":
-        base = onecycle_cosine(train_cfg.learning_rate, train_cfg.max_epochs)
-        return lambda count: base(count // max(steps_per_epoch, 1))
-    total = steps_per_epoch * train_cfg.max_epochs
-    return onecycle_cosine(train_cfg.learning_rate, total)
 
 
 # jit closures are compile-cache keys: rebuilding a step factory per fold
@@ -89,9 +78,8 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     variables = shard_variables(mesh, variables)
 
     steps_per_epoch = compute_steps_per_epoch(train_cfg, len(train_cached))
-    schedule = build_schedule(train_cfg, steps_per_epoch)
     state = create_train_state(model, variables, train_cfg, model_cfg,
-                               schedule)
+                               steps_per_epoch)
 
     cw = np.asarray(info.class_weights, np.float32) if use_class_weights else None
     dtype = jnp.dtype(model_cfg.compute_dtype)
@@ -143,12 +131,16 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         def batches_for_epoch(epoch):
             from irp_tpu.data.pipeline import prefetch_to_device
 
-            # drop_last: a wrap-padded tail batch would double-weight the
+            # drop_last: a wrap-padded tail batch would double-weight its
             # duplicated samples in the gradient; with per-epoch shuffling
-            # a dropped tail is unbiased (jit needs static batch shapes)
+            # a dropped tail is unbiased (jit needs static batch shapes).
+            # Exception: datasets smaller than one batch must keep the
+            # single padded batch or no training happens at all.
+            drop_last = len(train_cached) >= train_cfg.batch_size
             host_iter = iter_host_batches(
                 train_cached, train_cfg.batch_size, shuffle=True,
-                seed=train_cfg.seed + epoch, drop_last=True)
+                seed=train_cfg.seed + epoch, drop_last=drop_last,
+                pad_final=not drop_last)
             # double-buffered device prefetch: transfer of batch t+1
             # overlaps compute of batch t (bigger-than-HBM fallback path)
             return prefetch_to_device(

@@ -8,11 +8,20 @@ L2 decay is *added to the gradient before* the Adam moment update (torch
 Adam's coupled weight decay — not AdamW), and only trainable parameters are
 optimized (``filter(requires_grad)``, model.py:59).  Frozen params carry no
 Adam moments at all (optax.masked), saving 2x their size in optimizer HBM.
+
+Compile-cache design: ``TrainState.tx`` is static jit aux data, so a fresh
+optimizer closure per trial would force XLA to recompile the fused train
+step for every hyperparameter draw.  Instead the learning rate and weight
+decay are **injected hyperparameters** (leaves of opt_state, traced at
+runtime) and the GradientTransformation itself is memoized on its
+structural key (schedule length/mode + trainable-stage config) — a
+200-trial sweep compiles one program per (batch size, epoch length)
+bucket, not per trial.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,25 +71,97 @@ def trainable_mask(params, model_cfg: ModelConfig):
     return jax.tree_util.tree_map_with_path(mask_for, params)
 
 
+def _onecycle_shape(total_steps: int, steps_per_epoch: int,
+                    scheduler_step: str):
+    """Normalized OneCycle (peak 1.0); 'epoch' mode advances the shape once
+    per epoch (reference final.py:330 quirk)."""
+    from irp_tpu.ops.schedules import onecycle_cosine
+
+    base = onecycle_cosine(1.0, total_steps)
+    if scheduler_step == "epoch":
+        return lambda count: base(count // max(steps_per_epoch, 1))
+    return base
+
+
+# GradientTransformations memoized on their structural key so TrainState.tx
+# (static jit aux) compares equal across fit() calls and the compiled step
+# is reused; lr/wd vary per trial as injected runtime values.
+_TX_MEMO: Dict[Tuple, optax.GradientTransformation] = {}
+
+
 def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
-                   schedule) -> optax.GradientTransformation:
-    """torch-Adam-equivalent chain, masked to trainable params only."""
-    inner = optax.chain(
-        optax.add_decayed_weights(train_cfg.weight_decay),  # coupled L2
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),    # torch defaults
-        optax.scale_by_learning_rate(schedule),
-    )
-    return optax.masked(inner, lambda params: trainable_mask(params, model_cfg))
+                   steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch-Adam-equivalent chain, masked to trainable params, with lr and
+    weight decay as injected (runtime) hyperparameters."""
+    if train_cfg.scheduler_step == "epoch":
+        total = train_cfg.max_epochs
+    else:
+        total = steps_per_epoch * train_cfg.max_epochs
+    key = (total, steps_per_epoch, train_cfg.scheduler_step,
+           model_cfg.trainable_stages, model_cfg.head_only)
+    tx = _TX_MEMO.get(key)
+    if tx is None:
+        shape = _onecycle_shape(total, steps_per_epoch,
+                                train_cfg.scheduler_step)
+
+        def factory(learning_rate, weight_decay):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),  # coupled L2
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale_by_schedule(shape),           # peak-1 curve
+                optax.scale(-1.0 * learning_rate),        # peak lr
+            )
+
+        inner = optax.inject_hyperparams(factory)(
+            learning_rate=0.0, weight_decay=0.0)
+
+        def mask_fn(params):
+            return trainable_mask(params, model_cfg)
+
+        def inverse_mask_fn(params):
+            return jax.tree_util.tree_map(lambda m: not m, mask_fn(params))
+
+        # masked() passes non-masked updates through UNCHANGED (raw
+        # grads); frozen params get exact zeros via the second stage so
+        # the freeze contract holds even if a caller feeds nonzero
+        # gradients for frozen leaves.
+        tx = optax.chain(
+            optax.masked(inner, mask_fn),
+            optax.masked(optax.set_to_zero(), inverse_mask_fn),
+        )
+        _TX_MEMO[key] = tx
+    return tx
+
+
+def set_opt_hyperparams(opt_state, learning_rate: float,
+                        weight_decay: float):
+    """Write the per-run lr/wd into the injected-hyperparams opt_state
+    (structure: (MaskedState(inner_state=InjectHyperparamsState),
+    MaskedState(zero)))."""
+    masked_state = opt_state[0]
+    inner = masked_state.inner_state
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(learning_rate,
+                                      hp["learning_rate"].dtype)
+    hp["weight_decay"] = jnp.asarray(weight_decay,
+                                     hp["weight_decay"].dtype)
+    new_masked = masked_state._replace(
+        inner_state=inner._replace(hyperparams=hp))
+    return (new_masked,) + tuple(opt_state[1:])
 
 
 def create_train_state(model, variables, train_cfg: TrainConfig,
-                       model_cfg: ModelConfig, schedule) -> TrainState:
-    tx = make_optimizer(train_cfg, model_cfg, schedule)
+                       model_cfg: ModelConfig,
+                       steps_per_epoch: int = 1) -> TrainState:
+    tx = make_optimizer(train_cfg, model_cfg, steps_per_epoch)
+    opt_state = set_opt_hyperparams(tx.init(variables["params"]),
+                                    train_cfg.learning_rate,
+                                    train_cfg.weight_decay)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables["batch_stats"],
-        opt_state=tx.init(variables["params"]),
+        opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,
     )

@@ -77,7 +77,7 @@ def main(argv=None):
         import numpy as np
         from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
 
-        info = get_dataset_info(cleaned)
+        info = get_dataset_info(final_src)
         class_names = sorted(info)
         images, labels, paths = [], [], []
         for ci, cls in enumerate(class_names):
@@ -113,8 +113,9 @@ def main(argv=None):
         plot_umap(df, os.path.join(args.work_dir, "umap.png"))
         plot_outliers(df, os.path.join(args.work_dir, "outliers.png"))
         print_summary(df)
+        outlier_src = final_src
         final_src = os.path.join(args.work_dir, "clean")
-        create_clean_dataset(df, cleaned, final_src)
+        create_clean_dataset(df, outlier_src, final_src)
 
     print("== Shard creation ==")
     result = process_dataset(final_src, wds_dir, test_size=args.test_size,

@@ -80,7 +80,6 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
 
     from irp_tpu.config import ModelConfig, TrainConfig
     from irp_tpu.models import init_classifier
-    from irp_tpu.ops.schedules import onecycle_cosine
     from irp_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from irp_tpu.train.state import create_train_state
 
@@ -88,7 +87,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                       compute_dtype="float32")
     model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 32)
     state = create_train_state(model, variables, TrainConfig(batch_size=4),
-                               cfg, onecycle_cosine(1e-3, 10))
+                               cfg, steps_per_epoch=10)
     path = save_checkpoint(str(tmp_path / "ckpt"), state)
     # perturb then restore
     perturbed = state.replace(

@@ -1,0 +1,149 @@
+"""Optimizer semantics vs torch Adam + coupled weight decay, and the
+compile-reuse property of injected hyperparameters."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from irp_tpu.config import ModelConfig, TrainConfig
+from irp_tpu.train.state import (TrainState, make_optimizer,
+                                 set_opt_hyperparams, trainable_mask)
+
+
+def _tiny_params():
+    # 'head_dense1' path => trainable under the default mask
+    return {"head_dense1": {"kernel": jnp.array([[1.0, -2.0],
+                                                 [0.5, 3.0]], jnp.float32)}}
+
+
+def test_matches_torch_adam_coupled_wd():
+    """Our chain must reproduce torch.optim.Adam(lr, weight_decay) step for
+    step (coupled L2: grad += wd*param BEFORE moments; reference
+    model.py:57-59)."""
+    torch = pytest.importorskip("torch")
+
+    lr, wd = 1e-2, 1e-3
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    grads = [np.array([[0.1, -0.2], [0.3, 0.05]], np.float32),
+             np.array([[-0.05, 0.4], [0.2, -0.1]], np.float32),
+             np.array([[0.02, 0.1], [-0.3, 0.2]], np.float32)]
+
+    # torch
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+    torch_out = tw.detach().numpy()
+
+    # ours — constant schedule via steps_per_epoch trickery: use a
+    # OneCycle long enough that... simpler: bypass the schedule by
+    # computing the per-step lr it actually applies and feed torch the
+    # same sequence.  Instead, test with the real schedule on BOTH sides.
+    mcfg = ModelConfig(depth=18, num_classes=2)
+    tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
+                       max_epochs=1, steps_per_epoch_override=None)
+    tx = make_optimizer(tcfg, mcfg, steps_per_epoch=100)
+    params = _tiny_params()
+    opt_state = set_opt_hyperparams(tx.init(params), lr, wd)
+
+    from irp_tpu.ops.schedules import onecycle_cosine
+
+    shape = onecycle_cosine(1.0, 100)
+
+    tw2 = torch.nn.Parameter(torch.tensor(w0))
+    opt2 = torch.optim.Adam([tw2], lr=lr, weight_decay=wd)
+    for i, g in enumerate(grads):
+        # torch side: emulate the schedule by scaling lr per step
+        for group in opt2.param_groups:
+            group["lr"] = lr * float(shape(i))
+        opt2.zero_grad()
+        tw2.grad = torch.tensor(g)
+        opt2.step()
+
+        updates, opt_state = tx.update(
+            {"head_dense1": {"kernel": jnp.array(g)}}, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+
+    ours = np.asarray(params["head_dense1"]["kernel"])
+    np.testing.assert_allclose(ours, tw2.detach().numpy(), atol=1e-6)
+
+
+def test_frozen_params_get_zero_updates_and_no_moments():
+    mcfg = ModelConfig(depth=18, num_classes=2)
+    tcfg = TrainConfig(learning_rate=1e-2, weight_decay=1e-3, batch_size=8,
+                       max_epochs=1)
+    params = {"backbone": {"layer1_block0": {"conv1": {
+                  "kernel": jnp.ones((2, 2), jnp.float32)}}},
+              "head_dense1": {"kernel": jnp.ones((2, 2), jnp.float32)}}
+    tx = make_optimizer(tcfg, mcfg, steps_per_epoch=10)
+    opt_state = set_opt_hyperparams(tx.init(params), 1e-2, 1e-3)
+    grads = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), params)
+    updates, _ = tx.update(grads, opt_state, params)
+    frozen_up = updates["backbone"]["layer1_block0"]["conv1"]["kernel"]
+    head_up = updates["head_dense1"]["kernel"]
+    assert float(jnp.abs(frozen_up).max()) == 0.0
+    assert float(jnp.abs(head_up).max()) > 0.0
+
+
+def test_tx_memoized_across_configs():
+    """Same structural config -> identical tx object (jit cache reuse);
+    different lr/wd must NOT change the tx (they're runtime values)."""
+    mcfg = ModelConfig(depth=18, num_classes=2)
+    a = make_optimizer(TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
+                                   batch_size=8, max_epochs=5), mcfg, 10)
+    b = make_optimizer(TrainConfig(learning_rate=7e-3, weight_decay=2e-6,
+                                   batch_size=8, max_epochs=5), mcfg, 10)
+    assert a is b
+    c = make_optimizer(TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
+                                   batch_size=8, max_epochs=6), mcfg, 10)
+    assert c is not a
+
+
+def test_fit_reuses_compiled_step_across_hyperparams(tmp_path):
+    """Two fits with different lr/wd/dropout-free config hit the same
+    compiled epoch step (the sweep-scale recompile fix)."""
+    from irp_tpu.config import MeshConfig
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.pipeline import build_cache
+    from irp_tpu.parallel.mesh import make_mesh
+    from irp_tpu.train import fit
+    from tests.synth import make_synthetic_shards
+
+    meta = make_synthetic_shards(str(tmp_path), num_classes=2, per_class=12,
+                                 samples_per_shard=12, seed=1, size=64)
+    info = analyze_webdataset(meta["shards"])
+    data = build_cache(meta["shards"], info.class_names, size=64)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    mcfg = ModelConfig(depth=18, num_classes=2, image_size=56,
+                       compute_dtype="float32")
+
+    def run(lr, wd):
+        tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
+                           max_epochs=1, patience=3, aug_intensity="low",
+                           train_samples_per_epoch=16, eval_samples=8,
+                           seed=0)
+        return fit(data, data, info, mcfg, tcfg, mesh=mesh, mode="hbm")
+
+    r1 = run(1e-3, 1e-5)
+    # count compiled-cache misses via the jit function's cache size
+    import sys
+
+    fitmod = sys.modules["irp_tpu.train.fit"]
+    memo_before = len(fitmod._STEP_MEMO)
+    step_fn = next(v for k, v in fitmod._STEP_MEMO.items()
+                   if k[0] == "hbm_epoch")
+    misses_before = step_fn._cache_size()
+    r2 = run(9e-3, 3e-4)  # different hyperparams, same structure
+    assert len(fitmod._STEP_MEMO) == memo_before
+    assert step_fn._cache_size() == misses_before  # no retrace/recompile
+    assert np.isfinite(r2.history["train_loss"][0])
+    # and the two runs genuinely trained differently (lr actually applied)
+    a = np.asarray(r1.state.params["head_dense2"]["kernel"])
+    b = np.asarray(r2.state.params["head_dense2"]["kernel"])
+    assert np.abs(a - b).max() > 1e-6
