@@ -1,7 +1,7 @@
 """Benchmark: ResNet50 preprocess+train throughput on the real TPU chip.
 
 Measures steady-state imgs/sec/chip for the full fused training step —
-on-device batch gather from the HBM-resident uint8 dataset, augmentation
+contiguous-window batch slice from the HBM-resident uint8 dataset, augmentation
 (RandomResizedCrop + flip + color jitter), ImageNet normalize, bf16 ResNet50
 forward+backward (frozen prefix pruned from the backward graph), masked-Adam
 update with OneCycle schedule — i.e. everything between "raw cached pixels"

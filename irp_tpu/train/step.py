@@ -4,7 +4,7 @@ The reference's hot loop (reference functions/train.py:21-51) is a Python
 batch loop doing H2D copy -> forward -> CE -> backward -> Adam -> OneCycleLR
 step per batch, with augmentation done by PIL in DataLoader worker processes.
 
-Here the ENTIRE step — batch gather from the HBM-resident dataset,
+Here the ENTIRE step — batch slicing from the HBM-resident dataset,
 augmentation, normalize, forward, loss, backward (with GSPMD-inserted psum
 over the 'data' mesh axis), Adam update, schedule — is one compiled XLA
 program.  No per-step host<->device traffic beyond a (B,) int32 index array
@@ -13,9 +13,10 @@ and scalar metrics.
 Two step flavors:
 - ``make_train_step``: batch images stream in as (B,256,256,3) uint8
   (host pipeline / small datasets).
-- ``make_hbm_train_step``: the whole dataset lives in device HBM sharded on
-  'data'; a shard_map gather picks each device's local samples (equivalent
-  to per-worker shard sampling in the reference's DataLoader, but on-chip).
+- ``make_hbm_train_step`` / ``make_hbm_epoch_step``: the whole dataset
+  lives in device HBM sharded on 'data'; contiguous dynamic-slice windows
+  pick each device's local samples (per-worker shard sampling like the
+  reference's DataLoader, but on-chip and gather-free).
 """
 
 from __future__ import annotations
