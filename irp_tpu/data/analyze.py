@@ -24,7 +24,13 @@ def resolve_shards(path_pattern: str | Sequence[str]) -> list:
     if isinstance(path_pattern, (list, tuple)):
         return list(path_pattern)
     if os.path.isdir(path_pattern):
-        return sorted(glob.glob(os.path.join(path_pattern, "train-*.tar")))
+        # reference semantics: a bare directory means its train shards
+        # (utility.py label mapping comes from train data); fall back to
+        # any .tar so test/val-only directories don't silently resolve
+        # to nothing
+        train = sorted(glob.glob(os.path.join(path_pattern, "train-*.tar")))
+        return train or sorted(glob.glob(os.path.join(path_pattern,
+                                                      "*.tar")))
     return sorted(glob.glob(path_pattern))
 
 

@@ -152,12 +152,9 @@ class Run:
     def log_dict(self, data: Dict, artifact_file: str) -> str:
         return self.log_text(json.dumps(data, indent=2), artifact_file)
 
-    def end(self, status: str = "FINISHED") -> None:
-        self.info.status = status
-        self.info.end_time = _now_ms()
-        _write_meta(os.path.join(self._dir, "meta.yaml"), {
+    def _write_run_meta(self) -> None:
+        meta = {
             "artifact_uri": self.artifact_dir,
-            "end_time": self.info.end_time,
             "experiment_id": self.info.experiment_id,
             "lifecycle_stage": "active",
             "run_id": self.info.run_id,
@@ -165,7 +162,15 @@ class Run:
             "run_uuid": self.info.run_id,
             "start_time": self.info.start_time,
             "status": self.info.status,
-        })
+        }
+        if self.info.end_time is not None:  # only set once the run ends
+            meta["end_time"] = self.info.end_time
+        _write_meta(os.path.join(self._dir, "meta.yaml"), meta)
+
+    def end(self, status: str = "FINISHED") -> None:
+        self.info.status = status
+        self.info.end_time = _now_ms()
+        self._write_run_meta()
 
     def __enter__(self):
         return self
@@ -193,8 +198,7 @@ def start_run(run_name: Optional[str] = None,
                    start_time=_now_ms())
     run = Run(run_dir, info)
     run.set_tags({"mlflow.runName": run_name})
-    run.end("RUNNING")  # write initial meta
-    run.info.status = "RUNNING"
+    run._write_run_meta()  # initial meta: RUNNING, no end_time
     _state["run"] = run
     return run
 
