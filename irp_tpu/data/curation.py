@@ -330,17 +330,16 @@ def display_dataset_report(analysis: DatasetAnalysis,
                   analysis.small_image_counts["below_64"],
                   analysis.small_image_counts["below_32"]],
     })
-    print(f"Dataset: {analysis.root} — {analysis.total_images} images, "
-          f"{len(analysis.class_names)} classes, "
-          f"formats {', '.join(analysis.formats)}")
-    print(class_table.to_string(index=False))
-    print(quality.to_string(index=False))
-    if analysis.resolution_stats:
-        print(pd.Series(analysis.resolution_stats).round(1).to_string())
+    grid_name = os.path.basename(sample_grid_path) if sample_grid_path \
+        else "sample_images.png"
+    # stdout mirrors the report file exactly, like the reference's
+    # display_dataset_report (data_curation.py:89-281)
+    print(render_analysis_report(analysis, grid_name), end="")
 
     out = {"class_table": class_table, "quality_table": quality}
     if report_path:
-        out["report_path"] = write_analysis_report(analysis, report_path)
+        out["report_path"] = write_analysis_report(analysis, report_path,
+                                                   grid_name)
     if sample_grid_path and analysis.sample_images_by_class:
         from PIL import Image
 
@@ -360,34 +359,147 @@ def display_dataset_report(analysis: DatasetAnalysis,
     return out
 
 
-def write_analysis_report(analysis: DatasetAnalysis, path: str) -> str:
-    """Plain-text report mirroring dataset_analysis_report.txt."""
-    lines = ["DATASET ANALYSIS REPORT", "=" * 23, "",
-             f"Dataset: {analysis.root}", "",
-             "SUMMARY", "-" * 7,
-             f"Total images: {analysis.total_images}",
-             f"Classes: {len(analysis.class_names)}",
-             f"Formats: {', '.join(analysis.formats)}",
-             f"Corrupted files: {len(analysis.corrupted_files)}", "",
-             "CLASS DISTRIBUTION", "-" * 18]
+def render_analysis_report(analysis: DatasetAnalysis,
+                           sample_grid_name: str = "sample_images.png") -> str:
+    """Render the analysis in the committed golden layout.
+
+    Byte-format parity with the reference's dataset_analysis_report.txt
+    (the stdout mirror of display_dataset_report, reference
+    data_curation.py:89-281): section headers with markdown/emoji stripped,
+    pandas ``to_string`` tables, identical section order and labels.
+    """
+    import io as _io
+
+    import pandas as pd
+
+    buf = _io.StringIO()
+
+    def w(s=""):
+        print(s, file=buf)
+
+    # Dataset Folder Structure (reference :119-134)
+    w("Dataset Folder Structure")
+    counts = analysis.class_counts
+    structure = f"DATASET_PATH: {analysis.root}\nFOLDER_STRUCTURE:\n"
     for cls in analysis.class_names:
-        lines.append(f"{cls}: {analysis.class_counts.get(cls, 0)} images")
-    res = analysis.resolution_stats
-    if res:
-        lines += ["", "RESOLUTION", "-" * 10,
-                  f"Average: {res['avg_width']:.1f} x {res['avg_height']:.1f}",
-                  f"Width range: {res['min_width']} - {res['max_width']}",
-                  f"Height range: {res['min_height']} - {res['max_height']}"]
-    counts = analysis.small_image_counts
-    lines += ["", "SMALL IMAGES", "-" * 12]
-    for t in (224, 128, 64, 32):
-        lines.append(f"Below {t}px: {counts[f'below_{t}']}")
-    lines += ["", "QUALITY FLAGS", "-" * 13,
-              f"Grayscale images: {len(analysis.grayscale_images)}",
-              f"RGBA images: {len(analysis.rgba_images)}",
-              f"Duplicate images: {len(analysis.duplicate_pairs)}", ""]
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
+        structure += f"  - {cls} ({counts.get(cls, 0)} images)\n"
+    w("\nDATASET STRUCTURE FOR CHATBOT REFERENCE:")
+    w(structure)
+
+    # Summary Statistics (reference :136-148)
+    w("Dataset Summary Statistics")
+    summary_df = pd.DataFrame({
+        "Total Classes": [len(analysis.class_names)],
+        "Total Images": [analysis.total_images],
+        "Avg Images/Class": [analysis.total_images
+                             / max(1, len(analysis.class_names))],
+        "Unique Formats": [len(analysis.formats)],
+        "Corrupted Files": [len(analysis.corrupted_files)],
+    })
+    w("\nKEY STATISTICS:")
+    w(summary_df.to_string(index=False))
+
+    # Small Images (reference :150-163)
+    w("Small Image Analysis")
+    rows = []
+    for threshold, count in analysis.small_image_counts.items():
+        percent = count / max(1, analysis.total_images) * 100
+        rows.append({"Threshold": threshold.replace("below_", "< ") + "px",
+                     "Count": count, "% of Total": f"{percent:.1f}%"})
+    w("\nSMALL IMAGE DISTRIBUTION:")
+    w(pd.DataFrame(rows).to_string(index=False))
+
+    # Class Distribution (reference :165-175)
+    w("Class Distribution")
+    class_df = pd.DataFrame(list(counts.items()),
+                            columns=["Class", "Count"])
+    if not class_df.empty:
+        class_df["% Total"] = (class_df["Count"]
+                               / max(1, analysis.total_images)
+                               * 100).round(1)
+        class_df = class_df.sort_values("Count", ascending=False)
+        w("\nCLASS DISTRIBUTION (SORTED BY COUNT):")
+        w(class_df.to_string(index=False))
+
+    # Image Characteristics (reference :177-237)
+    w("Image Characteristics")
+    rs = analysis.resolution_stats
+    if rs:
+        res_df = pd.DataFrame({
+            "Metric": ["Average", "Minimum", "Maximum"],
+            "Width": [round(rs["avg_width"], 1), rs["min_width"],
+                      rs["max_width"]],
+            "Height": [round(rs["avg_height"], 1), rs["min_height"],
+                       rs["max_height"]],
+        }).set_index("Metric")
+        w("\nRESOLUTION STATISTICS (PIXELS):")
+        w(res_df.to_string())
+
+    ars = analysis.aspect_ratio_stats
+    if ars:
+        ar_df = pd.DataFrame({
+            "Metric": ["Average", "Median", "Minimum", "Maximum",
+                       "Std Dev"],
+            "Value": [round(ars["avg_ratio"], 2),
+                      round(ars["median_ratio"], 2),
+                      round(ars["min_ratio"], 2),
+                      round(ars["max_ratio"], 2),
+                      round(ars["std_ratio"], 2)],
+        }).set_index("Metric")
+        w("\nASPECT RATIO STATISTICS (WIDTH/HEIGHT):")
+        w(ar_df.to_string())
+
+        arc = analysis.aspect_ratio_categories
+        if arc:
+            total = max(sum(arc.values()), 1)
+            arc_df = pd.DataFrame({
+                "Category": ["Square (0.9-1.1)", "Portrait (<0.9)",
+                             "Landscape (>1.1)"],
+                "Count": [arc["square"], arc["portrait"], arc["landscape"]],
+                "% of Total": [f"{arc['square'] / total * 100:.1f}%",
+                               f"{arc['portrait'] / total * 100:.1f}%",
+                               f"{arc['landscape'] / total * 100:.1f}%"],
+            })
+            w("\nASPECT RATIO CATEGORIES:")
+            w(arc_df.to_string(index=False))
+
+    channel_df = pd.DataFrame(list(analysis.channel_distribution.items()),
+                              columns=["Channels", "Count"])
+    if not channel_df.empty:
+        channel_df["Channel Type"] = channel_df["Channels"].map(
+            {1: "Grayscale", 3: "RGB", 4: "RGBA"})
+        w("\nCOLOR CHANNELS:")
+        w(channel_df[["Channel Type", "Count"]].to_string(index=False))
+
+    # File Formats (reference :239-244)
+    w("File Formats")
+    format_df = pd.DataFrame(analysis.formats, columns=["Extensions"])
+    w("\nFOUND FILE EXTENSIONS:")
+    w(format_df.to_string(index=False))
+
+    # Corrupted Files (reference :246-257)
+    w("Corrupted Files")
+    if analysis.corrupted_files:
+        corrupt_df = pd.DataFrame(analysis.corrupted_files,
+                                  columns=["Path", "Error"])
+        w(f"\nTOTAL CORRUPTED: {len(corrupt_df)}")
+        w("SAMPLE CORRUPTED FILES:")
+        w(corrupt_df.head(5).to_string(index=False))
+    else:
+        w("\nOK: No corrupted files found")
+
+    # Sample Images (reference :259-262)
+    w("Sample Images")
+    w(f"\nSample images saved to '{sample_grid_name}'")
+    return buf.getvalue()
+
+
+def write_analysis_report(analysis: DatasetAnalysis, path: str,
+                          sample_grid_name: str = "sample_images.png") -> str:
+    """Golden-format dataset_analysis_report.txt (see
+    render_analysis_report)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(render_analysis_report(analysis, sample_grid_name))
     return path
 
 

@@ -103,8 +103,11 @@ def test_analysis_report_file(raw_dataset, tmp_path):
     a = analyze_dataset(raw_dataset)
     path = write_analysis_report(a, str(tmp_path / "analysis.txt"))
     text = open(path).read()
-    assert "Total images: 7" in text
-    assert "Below 128px: 1" in text
+    # golden layout (reference dataset_analysis_report.txt): summary table
+    # with the run's totals, and the small-image distribution rows
+    assert "KEY STATISTICS:" in text
+    assert " 7 " in text.split("KEY STATISTICS:")[1].splitlines()[2]
+    assert "< 128px" in text
 
 
 def test_resize_and_crop_geometry():

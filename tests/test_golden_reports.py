@@ -1,0 +1,104 @@
+"""Golden-file tests against the reference's committed report artifacts.
+
+The reference repo commits dataset_analysis_report.txt and
+dataset_cleaning_report.txt as de-facto regression goldens (SURVEY §4).
+These tests feed the EXACT statistics of the reference Animals-10 run into
+our renderers and byte-compare the output with the committed artifacts —
+locking in format parity without needing the real dataset.
+"""
+
+import os
+
+from irp_tpu.data.curation import (CleaningStats, analyze_dataset,
+                                   render_analysis_report,
+                                   write_analysis_report,
+                                   write_cleaning_report)
+
+REF = "/root/reference"
+
+
+class _GoldenStats:
+    """Duck-typed DatasetAnalysis carrying the reference run's statistics
+    (reference dataset_analysis_report.txt:1-85)."""
+
+    root = "./data/raw/"
+    class_names = ["sheep", "butterfly", "chicken", "elephant", "cat",
+                   "horse", "squirrel", "cow", "spider", "dog"]
+    class_counts = {"sheep": 1820, "butterfly": 2112, "chicken": 3098,
+                    "elephant": 1446, "cat": 1668, "horse": 2623,
+                    "squirrel": 1862, "cow": 1866, "spider": 4821,
+                    "dog": 4863}
+    total_images = 26179
+    formats = [".jpeg", ".jpg", ".png"]
+    corrupted_files = []
+    small_image_counts = {"below_224": 11956, "below_128": 125,
+                          "below_64": 5, "below_32": 0}
+    resolution_stats = {"avg_width": 320.0, "avg_height": 252.6,
+                        "min_width": 60, "max_width": 6720,
+                        "min_height": 57, "max_height": 6000}
+    aspect_ratio_stats = {"avg_ratio": 1.31, "median_ratio": 1.33,
+                          "min_ratio": 0.29, "max_ratio": 4.23,
+                          "std_ratio": 0.31}
+    aspect_ratio_categories = {"square": 3029, "portrait": 3129,
+                               "landscape": 20021}
+    channel_distribution = {3: 26128, 4: 50, 1: 1}
+
+
+def test_analysis_report_byte_matches_reference_golden():
+    golden = open(os.path.join(REF, "dataset_analysis_report.txt"),
+                  encoding="utf-8").read()
+    ours = render_analysis_report(_GoldenStats())
+    assert ours.splitlines() == golden.splitlines()
+    assert ours == golden
+
+
+def test_cleaning_report_byte_matches_reference_golden(tmp_path):
+    golden = open(os.path.join(REF, "dataset_cleaning_report.txt"),
+                  encoding="utf-8").read()
+    stats = CleaningStats(
+        total_processed=26179, total_copied=26003,
+        excluded={"grayscale": 1, "rgba": 50, "small": 125, "duplicate": 0},
+        class_counts={"butterfly": 2065, "cat": 1653, "chicken": 3082,
+                      "cow": 1848, "dog": 4849, "elephant": 1433,
+                      "horse": 2610, "sheep": 1800, "spider": 4806,
+                      "squirrel": 1857})
+    path = str(tmp_path / "cleaning.txt")
+    write_cleaning_report(stats, "./data/raw/", "./data/cleaned/", path)
+    ours = open(path, encoding="utf-8").read()
+    assert ours.splitlines() == golden.splitlines()
+    assert ours == golden
+
+
+def test_analysis_report_regenerates_from_synthetic(tmp_path):
+    """End-to-end: analyze a real (synthetic) directory tree, write the
+    report, and check every golden section header appears in order."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "raw"
+    rng = np.random.default_rng(0)
+    for cls in ("cat", "dog"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{cls}{i}.jpg")
+    a = analyze_dataset(str(root))
+    path = write_analysis_report(a, str(tmp_path / "analysis.txt"))
+    text = open(path).read()
+    headers = ["Dataset Folder Structure",
+               "DATASET STRUCTURE FOR CHATBOT REFERENCE:",
+               "Dataset Summary Statistics", "KEY STATISTICS:",
+               "Small Image Analysis", "SMALL IMAGE DISTRIBUTION:",
+               "Class Distribution", "CLASS DISTRIBUTION (SORTED BY COUNT):",
+               "Image Characteristics", "RESOLUTION STATISTICS (PIXELS):",
+               "ASPECT RATIO STATISTICS (WIDTH/HEIGHT):",
+               "ASPECT RATIO CATEGORIES:", "COLOR CHANNELS:",
+               "File Formats", "FOUND FILE EXTENSIONS:", "Corrupted Files",
+               "OK: No corrupted files found", "Sample Images"]
+    pos = 0
+    for h in headers:
+        new = text.find(h, pos)
+        assert new >= 0, f"missing or out-of-order section: {h}"
+        pos = new + len(h)
+    assert "Total Classes" in text and "% of Total" in text
