@@ -48,9 +48,15 @@ def _root() -> str:
 
 
 def _write_meta(path: str, meta: Dict) -> None:
-    # meta.yaml in the trivial "key: value" subset MLflow uses
+    # meta.yaml in the trivial "key: value" subset MLflow uses.  String
+    # values that would corrupt the line format (newlines) or not survive
+    # the read-side strip (leading/trailing whitespace) are JSON-quoted —
+    # still valid YAML, so external YAML readers keep working.
     with open(path, "w") as f:
         for k, v in meta.items():
+            if isinstance(v, str) and (v != v.strip() or "\n" in v
+                                       or v.startswith('"')):
+                v = json.dumps(v)
             f.write(f"{k}: {v}\n")
 
 
@@ -62,7 +68,13 @@ def _read_meta(path: str) -> Dict[str, str]:
         for line in f:
             if ":" in line:
                 k, v = line.split(":", 1)
-                out[k.strip()] = v.strip()
+                v = v.strip()
+                if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+                    try:
+                        v = json.loads(v)
+                    except ValueError:
+                        pass  # a literal quoted-looking value; keep as-is
+                out[k.strip()] = v
     return out
 
 

@@ -90,3 +90,20 @@ def test_failed_run_status(tmp_path):
     client = tracking.TrackingClient()
     info = client.get_run(run.info.run_id)["info"]
     assert info["status"] == "FAILED"
+
+
+@pytest.mark.parametrize("name", [
+    "a: b:c",                      # colons in the value (VERDICT r1 weak #7)
+    "  padded  ",                  # read-side strip would eat these
+    'quoted "x" name',             # quote char must survive
+    "multi\nline",                 # newline would corrupt the line format
+])
+def test_run_name_meta_roundtrip(name):
+    tracking.set_experiment("meta_roundtrip")
+    with tracking.start_run(run_name=name) as run:
+        run.log_metrics({"m": 1.0}, step=0)
+    client = tracking.TrackingClient()
+    hits = client.search_runs("meta_roundtrip", run_name=name)
+    assert len(hits) == 1
+    assert hits[0]["info"]["run_name"] == name
+    assert hits[0]["info"]["run_id"] == run.info.run_id
