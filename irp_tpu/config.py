@@ -109,6 +109,11 @@ class TrainConfig:
     scheduler_step: str = "batch"  # 'batch' (train.py:42) | 'epoch' (final.py:330)
     seed: int = 42
     label_smoothing: float = 0.0
+    # Re-permute each device's HBM-resident local shard every epoch
+    # (on-device gather, no re-upload) so batch composition re-randomizes
+    # like the reference's per-epoch shard-shuffle + 1000-buffer
+    # (reference hyperopt.py:119-128).
+    hbm_reshuffle: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

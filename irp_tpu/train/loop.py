@@ -101,6 +101,25 @@ def evaluate(state, eval_step: Callable, cached: CachedDataset,
                       logits=logits)
 
 
+def evaluate_hbm(state, eval_epoch: Callable, hbm_eval,
+                 class_weights=None) -> EvalResult:
+    """Evaluate against an HBM-resident eval set (see pipeline.HBMEvalSet).
+
+    One scanned dispatch for the whole (capped) eval set; no per-epoch
+    host->device re-upload.  Same reductions as ``evaluate`` — loss/acc on
+    host from f32 logits with wrap padding undone exactly."""
+    logits_steps = np.asarray(
+        eval_epoch(state, hbm_eval.images, jnp.asarray(hbm_eval.offsets)),
+        np.float32)
+    logits = hbm_eval.scatter_logits(logits_steps)
+    labels = hbm_eval.labels
+    preds = logits.argmax(axis=1)
+    acc = 100.0 * float((preds == labels).mean()) if len(labels) else 0.0
+    loss = _host_weighted_ce(logits, labels, class_weights)
+    return EvalResult(loss=loss, accuracy=acc, preds=preds, labels=labels,
+                      logits=logits)
+
+
 def evaluate_full(state, eval_step: Callable, cached: CachedDataset,
                   batch_size: int = 64, class_weights=None) -> EvalResult:
     """Uncapped test evaluation (reference train.py:192-238)."""

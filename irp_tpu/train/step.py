@@ -181,6 +181,34 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
     return epoch_step
 
 
+def make_hbm_eval_epoch(per_device_batch: int, out_size: int = 224,
+                        compute_dtype=jnp.bfloat16):
+    """Scan eval over an HBM-resident eval set in ONE compiled program.
+
+    Consumes ``HBMEvalSet.images`` ((D, steps*bl, 256,256,3) uint8 sharded
+    on 'data') and its window ``offsets``; returns (steps, B, C) f32
+    logits.  The eval set is uploaded once per fit instead of streaming
+    padded host batches every epoch (reference train.py:64-108 semantics,
+    TPU-native residency)."""
+
+    @jax.jit
+    def eval_epoch(state, data_u8, offsets):
+        def body(carry, off):
+            im = jax.lax.dynamic_slice_in_dim(data_u8, off,
+                                              per_device_batch, axis=1)
+            im = im.reshape((-1,) + im.shape[2:])
+            x = _eval_normalize(im, out_size, compute_dtype)
+            logits = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False)
+            return carry, logits.astype(jnp.float32)
+
+        _, logits = jax.lax.scan(body, None, offsets)
+        return logits
+
+    return eval_epoch
+
+
 def make_eval_step(out_size: int = 224, compute_dtype=jnp.bfloat16):
     """Eval step: center-crop + normalize + forward with running stats
     (model.eval() semantics, reference train.py:64-108).  Returns f32
