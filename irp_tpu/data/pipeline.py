@@ -92,15 +92,32 @@ class CachedDataset:
 def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                 cache_dir: Optional[str] = None,
                 size: int = CACHE_SIZE,
-                decoder=None) -> CachedDataset:
+                decoder=None, use_native: Optional[bool] = None
+                ) -> CachedDataset:
     """Decode all shards to a uint8 cache; reuse if fingerprint matches.
 
     ``class_names`` fixes the label mapping (must come from
     analyze_webdataset so the frequency ordering matches the reference,
-    SURVEY §2 #13).  ``decoder`` overrides the per-sample JPEG decoder
-    (the native C++ path plugs in here).
+    SURVEY §2 #13).  ``decoder`` overrides the per-sample JPEG decoder.
+
+    ``use_native`` routes decoding through the C++ batch decoder
+    (native/decode.cpp) one SHARD at a time, so its thread pool decodes a
+    whole shard's JPEGs concurrently instead of one image per call
+    (VERDICT r1 weak #6).  Default: the IRP_NATIVE_DECODE env var (unset
+    -> PIL, which is the byte-exact torchvision-Resize parity path; the
+    native resizer matches PIL within ±1/255).  Samples the native path
+    fails on fall back to PIL per-sample.
     """
     name_to_idx = {n: i for i, n in enumerate(class_names)}
+    if use_native is None:
+        use_native = (decoder is None
+                      and os.environ.get("IRP_NATIVE_DECODE", "") == "1")
+    batch_decoder = None
+    if use_native and decoder is None:
+        from irp_tpu.data.jpeg import (decode_batch_native,
+                                       native_decoder_available)
+        if native_decoder_available():
+            batch_decoder = decode_batch_native
     decoder = decoder or decode_to_rgb256
 
     meta_path = img_path = lab_path = None
@@ -126,15 +143,31 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
     shard_list = list(shard_paths)
     for shard_i, shard in enumerate(shard_list):
         from irp_tpu.data.tar import iter_shard
+        pending = []  # (jpg, label, key) for this shard
         for sample in iter_shard(shard):
             jpg = sample.get("jpg")
             cls = sample.get("cls")
             if jpg is None or cls is None:
                 continue
             name = cls.decode("utf-8") if isinstance(cls, bytes) else cls
-            images.append(decoder(jpg, size))
-            labels.append(name_to_idx[name])
-            keys.append(sample["__key__"])
+            pending.append((jpg, name_to_idx[name], sample["__key__"]))
+        if batch_decoder is not None and pending:
+            # one native call per shard: the C++ thread pool decodes the
+            # whole shard concurrently
+            decoded, ok = batch_decoder([p[0] for p in pending], size)
+        else:
+            decoded, ok = None, None
+        for j, (jpg, label, key) in enumerate(pending):
+            if decoded is not None and ok[j]:
+                img = decoded[j]
+            else:
+                try:
+                    img = decoder(jpg, size)
+                except Exception:  # noqa: BLE001 — skip corrupt samples
+                    continue
+            images.append(img)
+            labels.append(label)
+            keys.append(key)
             shard_ids.append(shard_i)
 
     images_arr = np.stack(images) if images else np.zeros(

@@ -117,23 +117,46 @@ Taps make_taps(int in_size, int out_size) {
   return t;
 }
 
+// Per-worker scratch: taps cached across same-sized images (a dataset is
+// typically dominated by a few sizes) + reusable float buffers.
+struct ResizeScratch {
+  int tx_in = -1, ty_in = -1, out = -1;
+  Taps tx, ty;
+  std::vector<float> tmp;   // (h, out, 3) horizontal-pass buffer
+  std::vector<float> frow;  // (w * 3) source row as float
+  std::vector<float> acc;   // (out * 3) vertical accumulator
+};
+
 // Separable resize RGB (h,w) -> (out,out) uint8.
 void resize_rgb(const uint8_t* src, int w, int h, uint8_t* dst,
-                int out_size) {
-  const Taps tx = make_taps(w, out_size);
-  const Taps ty = make_taps(h, out_size);
-  // pass 1: horizontal -> (h, out, 3) float
-  std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
+                int out_size, ResizeScratch* sc) {
+  if (sc->tx_in != w || sc->out != out_size) sc->tx = make_taps(w, out_size);
+  if (sc->ty_in != h || sc->out != out_size) sc->ty = make_taps(h, out_size);
+  sc->tx_in = w;
+  sc->ty_in = h;
+  sc->out = out_size;
+  const Taps& tx = sc->tx;
+  const Taps& ty = sc->ty;
+  sc->tmp.resize(static_cast<size_t>(h) * out_size * 3);
+  sc->frow.resize(static_cast<size_t>(w) * 3);
+  sc->acc.resize(static_cast<size_t>(out_size) * 3);
+
+  // pass 1: horizontal -> (h, out, 3) float.  The u8 row is converted to
+  // float once so the tap loop is pure float FMAs the compiler can
+  // vectorize over the 3 channels.
+  float* const frow = sc->frow.data();
   for (int y = 0; y < h; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_size * 3;
+    for (int x = 0; x < w * 3; ++x) frow[x] = row[x];
+    float* trow = sc->tmp.data() + static_cast<size_t>(y) * out_size * 3;
     for (int o = 0; o < out_size; ++o) {
       const float* wts =
           tx.weights.data() + static_cast<size_t>(o) * tx.max_count;
       float r = 0, g = 0, b = 0;
       const int s0 = tx.start[o];
-      for (int i = 0; i < tx.count[o]; ++i) {
-        const uint8_t* px = row + static_cast<size_t>(s0 + i) * 3;
+      const int cnt = tx.count[o];
+      const float* px = frow + static_cast<size_t>(s0) * 3;
+      for (int i = 0; i < cnt; ++i, px += 3) {
         const float wgt = wts[i];
         r += wgt * px[0];
         g += wgt * px[1];
@@ -144,19 +167,26 @@ void resize_rgb(const uint8_t* src, int w, int h, uint8_t* dst,
       trow[o * 3 + 2] = b;
     }
   }
-  // pass 2: vertical -> (out, out, 3) uint8
+  // pass 2: vertical -> (out, out, 3) uint8.  Loop-interchanged: each tap
+  // streams one contiguous tmp row into the accumulator (vectorizes to
+  // full-width FMAs instead of a strided tap loop per pixel).
+  const int row_elems = out_size * 3;
+  float* const acc = sc->acc.data();
   for (int o = 0; o < out_size; ++o) {
     const float* wts =
         ty.weights.data() + static_cast<size_t>(o) * ty.max_count;
     const int s0 = ty.start[o];
-    uint8_t* drow = dst + static_cast<size_t>(o) * out_size * 3;
-    for (int x = 0; x < out_size * 3; ++x) {
-      float acc = 0;
-      for (int i = 0; i < ty.count[o]; ++i) {
-        acc += wts[i] *
-               tmp[static_cast<size_t>(s0 + i) * out_size * 3 + x];
-      }
-      const int v = static_cast<int>(std::lround(acc));
+    const int cnt = ty.count[o];
+    std::memset(acc, 0, sizeof(float) * row_elems);
+    for (int i = 0; i < cnt; ++i) {
+      const float wgt = wts[i];
+      const float* trow =
+          sc->tmp.data() + static_cast<size_t>(s0 + i) * row_elems;
+      for (int x = 0; x < row_elems; ++x) acc[x] += wgt * trow[x];
+    }
+    uint8_t* drow = dst + static_cast<size_t>(o) * row_elems;
+    for (int x = 0; x < row_elems; ++x) {
+      const int v = static_cast<int>(std::lround(acc[x]));
       drow[x] = static_cast<uint8_t>(std::min(std::max(v, 0), 255));
     }
   }
@@ -179,6 +209,7 @@ int irp_decode_resize_batch(const uint8_t** jpegs, const long* sizes, int n,
 
   auto worker = [&]() {
     std::vector<uint8_t> raw;
+    ResizeScratch scratch;
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
@@ -187,7 +218,7 @@ int irp_decode_resize_batch(const uint8_t** jpegs, const long* sizes, int n,
       if (decode_jpeg(jpegs[i], static_cast<size_t>(sizes[i]), &raw, &w,
                       &h) &&
           w > 0 && h > 0) {
-        resize_rgb(raw.data(), w, h, dst, out_size);
+        resize_rgb(raw.data(), w, h, dst, out_size, &scratch);
         ok[i] = 1;
       } else {
         std::memset(dst, 0, img_bytes);
