@@ -140,3 +140,30 @@ def test_decode_to_rgb256_matches_pil_reference():
                      .resize((256, 256), Image.BILINEAR))
     np.testing.assert_array_equal(ours, ref)
     assert ours.shape == (256, 256, 3) and ours.dtype == np.uint8
+
+
+def test_flip_fold_equals_explicit_flip_then_crop():
+    """hflip/vflip folded into the resample matrices == materializing the
+    flipped image and resampling with the same boxes."""
+    import jax.numpy as jnp
+    from irp_tpu.ops.preprocess import resample_crop_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 32, 40, 3)), jnp.float32)
+    tops = jnp.asarray([0.0, 3.2, 5.5, 1.0])
+    lefts = jnp.asarray([2.0, 0.0, 7.3, 4.4])
+    hs = jnp.asarray([30.0, 28.0, 25.5, 32.0])
+    ws = jnp.asarray([36.0, 40.0, 33.3, 38.0])
+    hf = np.array([True, False, True, False])
+    vf = np.array([False, True, True, False])
+
+    folded = resample_crop_batch(x, tops, lefts, hs, ws, 16,
+                                 hflip=jnp.asarray(hf), vflip=jnp.asarray(vf))
+    xe = np.asarray(x)
+    flipped = np.stack([
+        img[::-1 if v else 1, ::-1 if h_ else 1, :]
+        for img, h_, v in zip(xe, hf, vf)])
+    explicit = resample_crop_batch(jnp.asarray(flipped), tops, lefts, hs,
+                                   ws, 16)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(explicit),
+                               atol=1e-5)

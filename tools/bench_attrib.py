@@ -155,6 +155,39 @@ def main(variants):
 
             fn = make_scan(True, body)
             results[v] = timed(v, fn, state, (hbm.images, hbm.labels))
+        elif v == "model_sliced":
+            # pre-augmented bf16 dataset resident in HBM; per-step window
+            # slice + model — isolates "slice in scan" from "augment"
+            import functools
+
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from irp_tpu.parallel.mesh import DATA_AXIS
+
+            state = create_train_state(model, variables, train_cfg,
+                                       model_cfg, steps_per_epoch=steps)
+            d_ax = mesh.shape[DATA_AXIS]
+            n_loc = hbm.local_count
+            pre = jnp.asarray(
+                rng.standard_normal((d_ax, n_loc, 224, 224, 3)),
+                jnp.bfloat16)
+            pre = _jax.device_put(pre, NamedSharding(
+                mesh, P(DATA_AXIS, None, None, None, None)))
+            labs = _jax.device_put(
+                jnp.asarray(rng.integers(0, 10, (d_ax, n_loc)), jnp.int32),
+                NamedSharding(mesh, P(DATA_AXIS, None)))
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fn(state, data, labels, offsets, key):
+                def sbody(state, step_in):
+                    i, off = step_in
+                    x, lb = _slice_batch(data, labels, off, bl)
+                    kd = jax.random.fold_in(key, i)
+                    s, m = _loss_and_updates(state, x, lb, kd, None)
+                    return s, m["loss"]
+                return jax.lax.scan(
+                    sbody, state, (jnp.arange(offsets.shape[0]), offsets))
+            results[v] = timed(v, fn, state, (pre, labs))
         elif v == "model":
             state = create_train_state(model, variables, train_cfg,
                                        model_cfg, steps_per_epoch=steps)
