@@ -41,10 +41,11 @@ def main():
     intensity = os.environ.get("BENCH_INTENSITY", "medium")
     n_samples = int(os.environ.get("BENCH_SAMPLES", "4096"))
 
+    bn_mode = os.environ.get("BENCH_BN_MODE", "trainable_only")
     mesh = make_mesh(MeshConfig(data=-1, model=1))
     n_classes = 10
     model_cfg = ModelConfig(depth=50, num_classes=n_classes, image_size=224,
-                            compute_dtype="bfloat16")
+                            compute_dtype="bfloat16", bn_stats_mode=bn_mode)
     train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
                             batch_size=batch_size)
 

@@ -110,16 +110,19 @@ class ResNet(nn.Module):
     whole backbone (head-only fine-tuning).  Parameter freezing itself is
     enforced by the optimizer mask (irp_tpu.train.state.trainable_mask);
     this flag only prunes the backward graph.
-    ``bn_stats_mode``: 'all' updates running stats everywhere in train mode
-    (PyTorch .train() behavior); 'trainable_only' keeps frozen-stage stats
-    fixed.
+    ``bn_stats_mode``: 'trainable_only' (default) keeps frozen-stage BN in
+    inference form — running stats in the forward, stats never updated —
+    which lets XLA fold the normalize into the conv epilogue (the measured
+    hot-path win, BENCH.md); 'all' updates running stats everywhere in
+    train mode and normalizes with batch statistics (PyTorch .train()
+    behavior on frozen layers — the torch-parity mode).
     """
 
     depth: int = 50
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
     frozen_prefix: int = 3
-    bn_stats_mode: str = "all"
+    bn_stats_mode: str = "trainable_only"
     precision: Any = None  # e.g. jax.lax.Precision.HIGHEST for f32 fidelity
 
     @nn.compact

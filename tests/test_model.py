@@ -21,10 +21,12 @@ from irp_tpu.models import (
 )
 from irp_tpu.models.convert import torch_key_to_flax
 
+# bn_stats_mode='all' pinned: these fixtures exercise the torch-parity
+# semantics (PyTorch .train() updates BN stats on frozen layers too).
 CFG18 = ModelConfig(depth=18, num_classes=10, dropout_rate=0.2,
-                    compute_dtype="float32")
+                    compute_dtype="float32", bn_stats_mode="all")
 CFG50 = ModelConfig(depth=50, num_classes=10, dropout_rate=0.2,
-                    compute_dtype="float32")
+                    compute_dtype="float32", bn_stats_mode="all")
 
 
 @pytest.fixture(scope="module")

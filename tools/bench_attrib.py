@@ -7,20 +7,24 @@ time-shared chip).  Variants:
 
   full          slice + augment(medium) + fwd/bwd + adam   (== bench.py)
   noaug         slice + eval normalize + fwd/bwd + adam
-  model         fwd/bwd + adam on pre-normalized bf16 input
+  model         fwd/bwd + adam on a loop-invariant bf16 batch
+  model_sliced  per-step slice of a pre-augmented bf16 HBM set + fwd/bwd + adam
   aug_only      slice + augment(medium), no model
+  aug_low       slice + augment(low), no model
   slice_only    slice + bf16 convert only
-  aug_nojit     slice + augment without color jitter
-  aug_nocrop    slice + flip + center-crop + normalize (low intensity)
+
+All variants take the dataset as a jit ARGUMENT (closure-captured device
+arrays become jit constants and stall compilation — BENCH.md).
 
 Usage: python tools/bench_attrib.py [variant ...]
 """
 
+import functools
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import time
 
 import numpy as np
 
@@ -28,18 +32,19 @@ import numpy as np
 def main(variants):
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/irp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from irp_tpu.config import (IMAGENET_MEAN, IMAGENET_STD, MeshConfig,
+                                ModelConfig, TrainConfig)
     from irp_tpu.data.pipeline import CachedDataset, EpochSampler, HBMDataset
     from irp_tpu.models import init_classifier
-    from irp_tpu.parallel.mesh import make_mesh, shard_variables
+    from irp_tpu.ops.preprocess import augment_batch_fused, center_crop
+    from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
     from irp_tpu.train.state import create_train_state
     from irp_tpu.train.step import _loss_and_updates, _slice_batch
-    from irp_tpu.ops.preprocess import augment_batch_fused, center_crop
-    from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD
 
     batch, steps, reps = 256, 20, 4
     mesh = make_mesh(MeshConfig(data=-1, model=1))
@@ -72,47 +77,26 @@ def main(variants):
         x = center_crop(images_u8, 224).astype(jnp.float32) / 255.0
         return ((x - mean) / std).astype(jnp.bfloat16)
 
-    def make_scan(body_has_state, body):
-        import functools
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(state, data_u8, labels_all, offsets, key):
-            def sbody(carry, step_in):
-                i, off = step_in
-                return body(carry, i, off, key)
-            carry, out = jax.lax.scan(
-                sbody, state, (jnp.arange(offsets.shape[0]), offsets))
-            return carry, out
-        return run
-
-    def body_full(state, i, off, key):
-        im, lb = _slice_batch(hbm_images, hbm_labels, off, bl)
-        k = jax.random.fold_in(key, i)
-        ka, kd = jax.random.split(k)
-        x = aug(im, ka)
-        return _loss_and_updates(state, x, lb, kd, None)
-
-    # placeholders bound below per-variant (data passed as args to jit)
-    hbm_images, hbm_labels = None, None
+    def fresh_state():
+        # copy: each variant's jit donates its state, whose leaves would
+        # otherwise alias the shared `variables` buffers
+        v = jax.tree_util.tree_map(jnp.copy, variables)
+        return create_train_state(model, v, train_cfg, model_cfg,
+                                  steps_per_epoch=steps)
 
     def timed(name, fn, init_carry, args):
-        nonlocal hbm_images, hbm_labels
+        """Warm up (compile + first exec), then best-of-reps wall time."""
         key = jax.random.PRNGKey(1)
         offs = jnp.asarray(sampler.epoch_offsets(steps))
         carry, out = fn(init_carry, *args, offs, key)
-        jax.tree_util.tree_map(
-            lambda a: np.asarray(jax.tree_util.tree_leaves(out)[-1])
-            if hasattr(a, "shape") else a, ())
-        sync = np.asarray(jax.tree_util.tree_leaves(out)[-1])
-        float(sync.reshape(-1)[-1])
+        float(np.asarray(out).reshape(-1)[-1])  # hard sync (D2H)
         best = float("inf")
         all_ms = []
         for r in range(reps):
             offs = jnp.asarray(sampler.epoch_offsets(steps))
             t0 = time.perf_counter()
             carry, out = fn(carry, *args, offs, jax.random.fold_in(key, r))
-            sync = np.asarray(jax.tree_util.tree_leaves(out)[-1])
-            float(sync.reshape(-1)[-1])
+            float(np.asarray(out).reshape(-1)[-1])
             dt = time.perf_counter() - t0
             all_ms.append(round(1000 * dt / steps, 2))
             best = min(best, dt)
@@ -122,112 +106,101 @@ def main(variants):
               flush=True)
         return ms
 
-    results = {}
-    for v in variants:
-        if v in ("full", "noaug", "aug_nojit", "aug_nocrop"):
-            state = create_train_state(model, variables, train_cfg,
-                                       model_cfg, steps_per_epoch=steps)
+    def train_scan(prep):
+        """Scanned train epoch; ``prep(images, i, key) -> model input``."""
 
-            def body(state, i, off, key, v=v):
-                im, lb = _slice_batch(hbm.images, hbm.labels, off, bl)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(state, data, labels, offsets, key):
+            def body(state, step_in):
+                i, off = step_in
+                im, lb = _slice_batch(data, labels, off, bl)
                 k = jax.random.fold_in(key, i)
                 ka, kd = jax.random.split(k)
-                if v == "full":
-                    x = aug(im, ka)
-                elif v == "noaug":
-                    x = evalprep(im)
-                elif v == "aug_nojit":
-                    from irp_tpu.ops.preprocess import (_sample_rrc_boxes,
-                                                        resample_crop_batch)
-                    xx = im.astype(jnp.bfloat16) / jnp.asarray(
-                        255.0, jnp.bfloat16)
-                    do_h = jax.random.bernoulli(ka, shape=(batch, 1, 1, 1))
-                    xx = jnp.where(do_h, xx[:, :, ::-1, :], xx)
-                    t, l, ch, cw = _sample_rrc_boxes(ka, batch, 256, 256,
-                                                     (0.8, 1.0))
-                    xx = resample_crop_batch(xx, t, l, ch, cw, 224)
-                    x = ((xx.astype(jnp.float32) - mean)
-                         / std).astype(jnp.bfloat16)
-                else:  # aug_nocrop == low intensity
-                    x = aug(im, ka, intensity="low")
-                new_state, m = _loss_and_updates(state, x, lb, kd, None)
-                return new_state, m["loss"]
+                x = prep(im, ka)
+                s, m = _loss_and_updates(state, x, lb, kd, None)
+                return s, m["loss"]
+            return jax.lax.scan(
+                body, state, (jnp.arange(offsets.shape[0]), offsets))
+        return fn
 
-            fn = make_scan(True, body)
-            results[v] = timed(v, fn, state, (hbm.images, hbm.labels))
+    def preaug_hbm():
+        """Pre-augmented bf16 dataset resident in HBM, sharded on data."""
+        d_ax = mesh.shape[DATA_AXIS]
+        n_loc = hbm.local_count
+        pre = jnp.asarray(
+            rng.standard_normal((d_ax, n_loc, 224, 224, 3)), jnp.bfloat16)
+        pre = jax.device_put(pre, NamedSharding(
+            mesh, P(DATA_AXIS, None, None, None, None)))
+        labs = jax.device_put(
+            jnp.asarray(rng.integers(0, 10, (d_ax, n_loc)), jnp.int32),
+            NamedSharding(mesh, P(DATA_AXIS, None)))
+        return pre, labs
+
+    results = {}
+    for v in variants:
+        if v == "full":
+            fn = train_scan(lambda im, k: aug(im, k))
+            results[v] = timed(v, fn, fresh_state(),
+                               (hbm.images, hbm.labels))
+        elif v == "noaug":
+            fn = train_scan(lambda im, k: evalprep(im))
+            results[v] = timed(v, fn, fresh_state(),
+                               (hbm.images, hbm.labels))
+        elif v == "aug_low":
+            fn = train_scan(lambda im, k: aug(im, k, intensity="low"))
+            results[v] = timed(v, fn, fresh_state(),
+                               (hbm.images, hbm.labels))
         elif v == "model_sliced":
-            # pre-augmented bf16 dataset resident in HBM; per-step window
-            # slice + model — isolates "slice in scan" from "augment"
-            import functools
-
-            import jax as _jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from irp_tpu.parallel.mesh import DATA_AXIS
-
-            state = create_train_state(model, variables, train_cfg,
-                                       model_cfg, steps_per_epoch=steps)
-            d_ax = mesh.shape[DATA_AXIS]
-            n_loc = hbm.local_count
-            pre = jnp.asarray(
-                rng.standard_normal((d_ax, n_loc, 224, 224, 3)),
-                jnp.bfloat16)
-            pre = _jax.device_put(pre, NamedSharding(
-                mesh, P(DATA_AXIS, None, None, None, None)))
-            labs = _jax.device_put(
-                jnp.asarray(rng.integers(0, 10, (d_ax, n_loc)), jnp.int32),
-                NamedSharding(mesh, P(DATA_AXIS, None)))
+            pre, labs = preaug_hbm()
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def fn(state, data, labels, offsets, key):
-                def sbody(state, step_in):
+                def body(state, step_in):
                     i, off = step_in
                     x, lb = _slice_batch(data, labels, off, bl)
                     kd = jax.random.fold_in(key, i)
                     s, m = _loss_and_updates(state, x, lb, kd, None)
                     return s, m["loss"]
                 return jax.lax.scan(
-                    sbody, state, (jnp.arange(offsets.shape[0]), offsets))
-            results[v] = timed(v, fn, state, (pre, labs))
+                    body, state, (jnp.arange(offsets.shape[0]), offsets))
+            results[v] = timed(v, fn, fresh_state(), (pre, labs))
         elif v == "model":
-            state = create_train_state(model, variables, train_cfg,
-                                       model_cfg, steps_per_epoch=steps)
             pre = jnp.asarray(
                 rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16)
             labs = jnp.asarray(rng.integers(0, 10, batch), jnp.int32)
 
-            import functools
-
             @functools.partial(jax.jit, donate_argnums=(0,))
             def fn(state, x, lb, offsets, key):
-                def sbody(state, i):
+                def body(state, i):
                     kd = jax.random.fold_in(key, i)
                     s, m = _loss_and_updates(state, x, lb, kd, None)
                     return s, m["loss"]
-                return jax.lax.scan(sbody, state,
+                return jax.lax.scan(body, state,
                                     jnp.arange(offsets.shape[0]))
-            results[v] = timed(v, fn, state, (pre, labs))
+            results[v] = timed(v, fn, fresh_state(), (pre, labs))
         elif v in ("aug_only", "slice_only"):
-            import functools
+            if v == "aug_only":
+                prep = lambda im, k: aug(im, k)  # noqa: E731
+            else:
+                prep = lambda im, k: im.astype(jnp.bfloat16)  # noqa: E731
 
-            @functools.partial(jax.jit, donate_argnums=())
-            def fn(carry, data, labels, offsets, key, v=v):
-                def sbody(carry, step_in):
+            @jax.jit
+            def fn(carry, data, labels, offsets, key, prep=prep):
+                def body(carry, step_in):
                     i, off = step_in
-                    im, lb = _slice_batch(data, labels, off, bl)
-                    if v == "aug_only":
-                        x = aug(im, jax.random.fold_in(key, i))
-                    else:
-                        x = im.astype(jnp.bfloat16)
-                    # fold into carry so every step is data-dependent
+                    im, _ = _slice_batch(data, labels, off, bl)
+                    x = prep(im, jax.random.fold_in(key, i))
                     return carry + jnp.mean(x, dtype=jnp.float32), carry
-                return jax.lax.scan(sbody, carry,
-                                    (jnp.arange(offsets.shape[0]), offsets))
+                return jax.lax.scan(
+                    body, carry, (jnp.arange(offsets.shape[0]), offsets))
             results[v] = timed(v, fn, jnp.float32(0),
                                (hbm.images, hbm.labels))
+        else:
+            print(f"unknown variant: {v}", file=sys.stderr)
     print({k: round(val, 2) for k, val in results.items()})
 
 
 if __name__ == "__main__":
-    vs = sys.argv[1:] or ["full", "noaug", "model", "aug_only",
-                          "slice_only", "aug_nojit", "aug_nocrop"]
+    vs = sys.argv[1:] or ["full", "noaug", "model", "model_sliced",
+                          "aug_only", "slice_only"]
     main(vs)
