@@ -98,6 +98,26 @@ def main():
         rep_times.append(round(1000 * rep_dt / steps, 2))
         dt = min(dt, rep_dt)
 
+    # Eval throughput: scanned epoch over the HBM-resident eval set
+    # (uploaded once; contiguous-window slices; running-stats forward).
+    from irp_tpu.data.pipeline import HBMEvalSet
+    from irp_tpu.train.step import make_hbm_eval_epoch
+
+    hbm_eval = HBMEvalSet(cached, mesh, batch_size)
+    eval_epoch = make_hbm_eval_epoch(sampler.per_device, out_size=224,
+                                     compute_dtype=jnp.bfloat16)
+    eoffs = jnp.asarray(hbm_eval.offsets)
+    lg = eval_epoch(state, hbm_eval.images, eoffs)
+    float(np.asarray(lg)[-1].reshape(-1)[-1])  # warmup + hard sync
+    eval_dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lg = eval_epoch(state, hbm_eval.images, eoffs)
+        float(np.asarray(lg)[-1].reshape(-1)[-1])
+        eval_dt = min(eval_dt, time.perf_counter() - t0)
+    eval_steps = eoffs.shape[0]
+    eval_imgs_per_sec = eval_steps * batch_size / eval_dt
+
     n_chips = len(jax.devices())
     imgs_per_sec = steps * batch_size / dt
     per_chip = imgs_per_sec / n_chips
@@ -117,6 +137,9 @@ def main():
         "backend": jax.default_backend(),
         "intensity": intensity,
         "final_loss": last_loss,
+        "eval_imgs_per_sec_chip": round(eval_imgs_per_sec / n_chips, 1),
+        "eval_step_ms": round(1000 * eval_dt / eval_steps, 2),
+        "bn_stats_mode": bn_mode,
     }
     print(json.dumps(result))
 
