@@ -23,6 +23,14 @@ class MedianPruner:
     - no pruning until ``n_startup_trials`` trials have completed
     - no pruning before ``n_warmup_steps`` steps into a trial
     - checks only every ``interval_steps`` steps
+
+    Documented deviation from Optuna: each peer trial contributes its
+    BEST intermediate value up to the current step (best-so-far), whereas
+    Optuna's MedianPruner medians peers' intermediate values AT the step.
+    For monotone-ish validation-accuracy curves the two agree; best-so-far
+    is slightly more conservative (harder to prune) when peers' curves dip,
+    which suits the reference's accuracy-maximizing sweep.  Kept
+    deliberately — not a bug.
     """
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
