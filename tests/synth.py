@@ -44,19 +44,34 @@ def make_image(rng: np.random.Generator, class_idx: int, num_classes: int,
 def make_hard_image(rng: np.random.Generator, class_idx: int,
                     num_classes: int, size: int = 224) -> Image.Image:
     """HARD class signal for convergence demos: identical color statistics
-    for every class — the class is encoded only as the ORIENTATION of a
-    low-contrast grating under per-pixel noise of the same magnitude,
-    with random phase, brightness, and contrast.  Not separable by any
-    single pixel or color statistic; a CNN must learn oriented filters."""
-    angle = np.pi * class_idx / max(num_classes, 1)
-    fx, fy = np.cos(angle), np.sin(angle)
+    for every class — the class is encoded as the (spatial frequency,
+    mirror-symmetric orientation pair) of a low-contrast PLAID under
+    per-pixel noise of the same magnitude, with random phase, brightness,
+    and contrast.  Not separable by any single pixel or color statistic;
+    a CNN must learn oriented band-pass filters.
+
+    The code is deliberately invariant to the training augmentations, the
+    way real semantic classes are: the plaid's mirror orientation pair
+    {+theta, -theta} maps to itself under horizontal/vertical flips, and
+    frequency levels are spaced 2x apart — far beyond the <=1.25x apparent-
+    frequency shift of the 0.8-1.0 random-resized-crop scale jitter.  (An
+    earlier single-orientation encoding over [0, pi) was label-ambiguous
+    under flips: theta <-> pi-theta collapsed class pairs, capping accuracy
+    near 60%.)"""
+    n_freq = min(max(num_classes, 1), 5)
+    n_orient = -(-num_classes // n_freq) if num_classes else 1
+    freq = 4.0 * (2.0 ** (class_idx % n_freq))       # cycles/image: 4..64
+    theta = (np.pi / 2) * ((class_idx // n_freq) + 0.5) / n_orient
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    phase = rng.uniform(0, 2 * np.pi)
-    grating = np.sin(2 * np.pi * 8.0 * (fx * xx + fy * yy) + phase)
-    contrast = rng.uniform(0.12, 0.22)
-    img = 0.5 + contrast * grating[..., None] * np.ones(3, np.float32)
-    img = img + rng.normal(0, 0.18, (size, size, 3)).astype(np.float32)
-    img = 0.5 + rng.uniform(0.7, 1.3) * (img - 0.5) + rng.uniform(-0.1, 0.1)
+    img = np.full((size, size, 3), 0.5, dtype=np.float32)
+    for sign in (1.0, -1.0):  # mirror pair -> flip-invariant
+        fx, fy = np.cos(theta), sign * np.sin(theta)
+        phase = rng.uniform(0, 2 * np.pi)
+        contrast = rng.uniform(0.10, 0.16)
+        img += contrast * np.sin(
+            2 * np.pi * freq * (fx * xx + fy * yy) + phase)[..., None]
+    img = img + rng.normal(0, 0.15, (size, size, 3)).astype(np.float32)
+    img = 0.5 + rng.uniform(0.8, 1.2) * (img - 0.5) + rng.uniform(-0.08, 0.08)
     arr = np.clip(img * 255.0, 0, 255).astype(np.uint8)
     return Image.fromarray(arr, mode="RGB")
 
