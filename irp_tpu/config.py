@@ -91,6 +91,12 @@ class ModelConfig:
     # 'highest' (full f32 MXU passes — needed for the 1e-3 eval-fidelity bar
     # vs the reference when compute_dtype=float32).
     precision: str = "default"
+    # Fused frozen-prefix bottleneck kernel (ops/pallas_resnet.py): 'auto'
+    # enables it on TPU backends when eligible (bottleneck depth, inference
+    # frozen BN, bf16, default precision), 'on' forces it (interpreter mode
+    # off-TPU — slow, tests only), 'off' disables.  Perf-only switch: the
+    # parameter tree and numerics class (bf16 conv outputs) are unchanged.
+    fused_frozen_blocks: str = "off"
     pretrained_path: str | None = None  # torch state_dict .pth to convert
 
 

@@ -39,10 +39,14 @@ class Classifier(nn.Module):
                 if name in trainable:
                     break
                 frozen_prefix += 1
+        fused = {"on": True, "off": False,
+                 "auto": jax.default_backend() == "tpu",
+                 }[cfg.fused_frozen_blocks]
         self.backbone = ResNet(depth=cfg.depth, dtype=dtype,
                                frozen_prefix=frozen_prefix,
                                bn_stats_mode=cfg.bn_stats_mode,
-                               precision=precision)
+                               precision=precision,
+                               fused_frozen_blocks=fused)
         self.head_dropout1 = nn.Dropout(rate=cfg.dropout_rate)
         self.head_dense1 = nn.Dense(cfg.hidden_dim, dtype=dtype,
                                     param_dtype=jnp.float32,

@@ -69,11 +69,50 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _ConvKernel(nn.Module):
+    """Declares an nn.Conv-compatible ``kernel`` param (HWIO, lecun_normal,
+    f32) without building the conv op — used by the fused-block path so its
+    parameter tree stays byte-identical to the unfused modules (and thus to
+    irp_tpu.models.convert's torchvision mapping)."""
+
+    shape: tuple  # (kh, kw, in, out)
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNVars(nn.Module):
+    """Declares nn.BatchNorm-compatible variables (params.scale/bias,
+    batch_stats.mean/var) without building the op; see _ConvKernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, f, jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(f, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(f, jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 with expansion 4 (ResNet-50/101/152).
 
     Stride on the 3x3 conv = torchvision's v1.5 placement, required for
     IMAGENET1K weights to be valid.
+
+    ``fused=True`` routes the whole block through the single-pass Pallas
+    kernel (ops/pallas_resnet.py) instead of per-conv XLA ops — only valid
+    for identity blocks (stride 1, matching channels) on a frozen stage
+    with inference-form BN, where the BN affine folds into the conv
+    weights and no backward pass exists.  The parameter tree is identical
+    either way.
     """
 
     filters: int
@@ -81,9 +120,13 @@ class Bottleneck(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     expansion: int = 4
+    fused: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            return self._fused(x)
         residual = x
         y = self.conv(self.filters, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
@@ -100,6 +143,35 @@ class Bottleneck(nn.Module):
                                  name="downsample_conv")(residual)
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
+
+    def _fused(self, x):
+        from irp_tpu.ops.pallas_resnet import (fold_bn_into_conv,
+                                               fused_identity_bottleneck)
+
+        m = self.filters
+        c = m * self.expansion
+        assert self.stride == 1 and x.shape[-1] == c, \
+            "fused path requires an identity bottleneck"
+        k1 = _ConvKernel((1, 1, c, m), name="conv1")()
+        s1 = _BNVars(m, name="bn1")()
+        k2 = _ConvKernel((3, 3, m, m), name="conv2")()
+        s2 = _BNVars(m, name="bn2")()
+        k3 = _ConvKernel((1, 1, m, c), name="conv3")()
+        s3 = _BNVars(c, name="bn3")()
+        sg = jax.lax.stop_gradient
+        # Fold each inference-form BN into its conv (f32), then cast the
+        # weights to the compute dtype.  stop_gradient keeps AD from ever
+        # asking the kernel for a JVP: the whole frozen prefix is
+        # primal-only (ResNet inserts its own cut after the stage, but the
+        # params enter here, upstream of that cut).
+        w1, b1 = fold_bn_into_conv(sg(k1), *map(sg, s1))
+        w2, b2 = fold_bn_into_conv(sg(k2), *map(sg, s2))
+        w3, b3 = fold_bn_into_conv(sg(k3), *map(sg, s3))
+        dt = self.dtype
+        return fused_identity_bottleneck(
+            sg(x), w1.reshape(c, m).astype(dt), b1,
+            w2.astype(dt), b2, w3.reshape(m, c).astype(dt), b3,
+            interpret=jax.default_backend() != "tpu")
 
 
 class ResNet(nn.Module):
@@ -124,6 +196,12 @@ class ResNet(nn.Module):
     frozen_prefix: int = 3
     bn_stats_mode: str = "trainable_only"
     precision: Any = None  # e.g. jax.lax.Precision.HIGHEST for f32 fidelity
+    # Route eligible frozen identity bottlenecks through the single-pass
+    # Pallas kernel (ops/pallas_resnet.py): one HBM read + one write per
+    # block instead of XLA's per-conv round trips.  Eligible = bottleneck
+    # depths, frozen stage, inference-form BN, stride 1, bf16, default
+    # precision.  Parameter tree is unchanged.
+    fused_frozen_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -150,14 +228,25 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        fusable_stage = (self.fused_frozen_blocks
+                         and block_cls is Bottleneck
+                         and self.bn_stats_mode == "trainable_only"
+                         and self.dtype == jnp.bfloat16
+                         and self.precision is None)
         for i, num_blocks in enumerate(stage_sizes):
             frozen = (i + 1) <= self.frozen_prefix
             norm = make_norm(frozen_stage=frozen)
             for j in range(num_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
+                kwargs = {}
+                if block_cls is Bottleneck:
+                    # j > 0 <=> identity block (j == 0 carries the
+                    # projection shortcut, incl. layer1's 64->256)
+                    kwargs = dict(fused=fusable_stage and frozen and j > 0,
+                                  dtype=self.dtype)
                 x = block_cls(filters=self.num_filters * 2 ** i, stride=stride,
                               conv=conv, norm=norm,
-                              name=f"{STAGE_NAMES[i]}_block{j}")(x)
+                              name=f"{STAGE_NAMES[i]}_block{j}", **kwargs)(x)
             if (i + 1) == self.frozen_prefix:
                 # Single cut: no backward graph for the frozen prefix.
                 x = jax.lax.stop_gradient(x)
