@@ -332,8 +332,17 @@ def display_dataset_report(analysis: DatasetAnalysis,
     })
     grid_name = os.path.basename(sample_grid_path) if sample_grid_path \
         else "sample_images.png"
-    # stdout mirrors the report file exactly, like the reference's
-    # display_dataset_report (data_curation.py:89-281)
+    # In a notebook, render the rich Markdown form (reference
+    # data_curation.py:99-101 displays via IPython Markdown) ...
+    try:
+        from IPython import get_ipython
+        from IPython.display import Markdown, display
+        if get_ipython() is not None:
+            display(Markdown(render_analysis_markdown(analysis, grid_name)))
+    except ImportError:
+        pass
+    # ... while stdout always mirrors the report file exactly, like the
+    # reference's emoji-stripped text copy (data_curation.py:102-117)
     print(render_analysis_report(analysis, grid_name), end="")
 
     out = {"class_table": class_table, "quality_table": quality}
@@ -492,6 +501,79 @@ def render_analysis_report(analysis: DatasetAnalysis,
     w("Sample Images")
     w(f"\nSample images saved to '{sample_grid_name}'")
     return buf.getvalue()
+
+
+def render_analysis_markdown(analysis: DatasetAnalysis,
+                             sample_grid_name: str =
+                             "sample_images.png") -> str:
+    """Render the analysis as rich Markdown with the reference's emoji
+    section headers (reference data_curation.py:120-260 displays these via
+    IPython Markdown; the committed .txt file is the emoji-stripped
+    mirror, which render_analysis_report produces).  Suitable for
+    ``IPython.display.Markdown`` in notebooks or any Markdown viewer."""
+    import pandas as pd
+
+    parts = []
+    counts = analysis.class_counts
+
+    parts.append("## 📂 Dataset Folder Structure")
+    structure = f"DATASET_PATH: {analysis.root}\nFOLDER_STRUCTURE:\n"
+    for cls in analysis.class_names:
+        structure += f"  - {cls} ({counts.get(cls, 0)} images)\n"
+    parts.append(f"```\n{structure}```")
+
+    parts.append("## 📊 Dataset Summary Statistics")
+    parts.append(pd.DataFrame({
+        "Total Classes": [len(analysis.class_names)],
+        "Total Images": [analysis.total_images],
+        "Avg Images/Class": [round(analysis.total_images
+                                   / max(1, len(analysis.class_names)), 1)],
+        "Unique Formats": [len(analysis.formats)],
+        "Corrupted Files": [len(analysis.corrupted_files)],
+    }).to_markdown(index=False))
+
+    parts.append("## 🔍 Small Image Analysis")
+    parts.append(pd.DataFrame(
+        [{"Threshold": k.replace("below_", "< ") + "px", "Count": v,
+          "% of Total":
+          f"{v / max(1, analysis.total_images) * 100:.1f}%"}
+         for k, v in analysis.small_image_counts.items()]
+    ).to_markdown(index=False))
+
+    parts.append("## 📁 Class Distribution")
+    class_df = pd.DataFrame(list(counts.items()),
+                            columns=["Class", "Count"])
+    if not class_df.empty:
+        class_df["% Total"] = (class_df["Count"]
+                               / max(1, analysis.total_images)
+                               * 100).round(1)
+        parts.append(class_df.sort_values(
+            "Count", ascending=False).to_markdown(index=False))
+
+    parts.append("## 🖼️ Image Characteristics")
+    rs = analysis.resolution_stats
+    if rs:
+        parts.append(pd.DataFrame({
+            "Metric": ["Average", "Minimum", "Maximum"],
+            "Width": [round(rs["avg_width"], 1), rs["min_width"],
+                      rs["max_width"]],
+            "Height": [round(rs["avg_height"], 1), rs["min_height"],
+                       rs["max_height"]],
+        }).to_markdown(index=False))
+
+    parts.append("## 📄 File Formats")
+    parts.append(", ".join(f"`{f}`" for f in analysis.formats) or "none")
+
+    parts.append("## ❌ Corrupted Files")
+    if analysis.corrupted_files:
+        parts.append(f"⚠️ {len(analysis.corrupted_files)} corrupted "
+                     "files found")
+    else:
+        parts.append("✅ No corrupted files found")
+
+    parts.append("## 📸 Sample Images")
+    parts.append(f"Sample images saved to `{sample_grid_name}`")
+    return "\n\n".join(parts) + "\n"
 
 
 def write_analysis_report(analysis: DatasetAnalysis, path: str,

@@ -72,3 +72,46 @@ def test_run_fidelity_cli(tmp_path):
         "--shards", os.path.join(str(tmp_path), "test-*.tar"),
         "--samples", "4", "--depth", "18", "--num-classes", "2", "--cpu"])
     assert rc == 0
+
+
+def test_run_final_cli_error_paths(tmp_path, capsys):
+    import run_final
+
+    # no study storage
+    rc = run_final.main(["--data-dir", str(tmp_path), "--storage",
+                         str(tmp_path / "none.db"), "--cpu"])
+    assert rc == 2
+    assert "No train shards" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_run_hyperopt_then_final_cli(tmp_path):
+    """The reference's full two-stage workflow as CLIs: sweep via
+    run_hyperopt.py (reference run_hyperopt.py:12-53), then final training
+    via run_final.py (reference final.py:158 notebook stage)."""
+    import run_final
+    import run_hyperopt
+    from tests.synth import make_synthetic_shards
+
+    data = tmp_path / "wds"
+    data.mkdir()
+    make_synthetic_shards(str(data), num_classes=2, per_class=10,
+                          samples_per_shard=10, seed=0, size=224,
+                          prefix="train")
+    make_synthetic_shards(str(data), num_classes=2, per_class=4,
+                          samples_per_shard=8, seed=1, size=224,
+                          prefix="test")
+    storage = str(tmp_path / "study.db")
+    cache = str(tmp_path / "cache")
+    common = ["--data-dir", str(data), "--storage", storage,
+              "--cache-dir", cache, "--depth", "18",
+              "--image-size", "64", "--cpu"]
+    rc = run_hyperopt.main(common + ["--n-trials", "2", "--k-folds", "2",
+                                     "--first-fold-min-acc", "0",
+                                     "--quick"])
+    assert rc == 0
+    assert os.path.exists(storage)
+
+    rc = run_final.main(common + ["--checkpoint-dir",
+                                  str(tmp_path / "ckpt")])
+    assert rc == 0

@@ -102,3 +102,26 @@ def test_analysis_report_regenerates_from_synthetic(tmp_path):
         assert new >= 0, f"missing or out-of-order section: {h}"
         pos = new + len(h)
     assert "Total Classes" in text and "% of Total" in text
+
+
+def test_markdown_render_mirrors_reference_sections():
+    """The Markdown form carries the reference's emoji section headers
+    (reference data_curation.py:120-260) with the same statistics as the
+    golden text mirror."""
+    from irp_tpu.data.curation import render_analysis_markdown
+
+    md = render_analysis_markdown(_GoldenStats())
+    for header in ["## 📂 Dataset Folder Structure",
+                   "## 📊 Dataset Summary Statistics",
+                   "## 🔍 Small Image Analysis",
+                   "## 📁 Class Distribution",
+                   "## 🖼️ Image Characteristics",
+                   "## 📄 File Formats",
+                   "## ❌ Corrupted Files",
+                   "## 📸 Sample Images"]:
+        assert header in md, header
+    assert "26179" in md              # total images
+    assert "| spider" in md           # markdown class table row
+    assert "✅ No corrupted files found" in md
+    # same numbers as the golden text report
+    assert "11956" in md and "45.7%" in md
