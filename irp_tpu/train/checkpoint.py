@@ -59,6 +59,25 @@ def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:
     return path
 
 
+def latest_checkpoint(ckpt_dir: str):
+    """Newest Orbax checkpoint in a per-epoch directory.
+
+    Returns ``(path, next_epoch)`` — the resume point for
+    ``fit(restore_from=path, start_epoch=next_epoch)`` — or
+    ``(None, 0)`` when the directory holds no checkpoints yet."""
+    import re
+
+    best = None
+    if os.path.isdir(ckpt_dir):
+        for entry in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"step_(\d{8})", entry)
+            if m and (best is None or int(m.group(1)) > best[1]):
+                best = (os.path.join(ckpt_dir, entry), int(m.group(1)))
+    if best is None:
+        return None, 0
+    return best[0], best[1] + 1
+
+
 def restore_checkpoint(path: str, state):
     """Restore into an existing TrainState (shapes from ``state``)."""
     import orbax.checkpoint as ocp
@@ -68,6 +87,20 @@ def restore_checkpoint(path: str, state):
                 "opt_state": state.opt_state,
                 "step": np.asarray(state.step)}
     restored = ckptr.restore(path, template)
+
+    # Orbax restores leaves COMMITTED to device 0; the train step's other
+    # inputs carry mesh (NamedSharding) placements and jit rejects the
+    # mix.  Re-place mesh-sharded leaves explicitly; demote everything
+    # else to host numpy (uncommitted — jit places it freely).
+    from jax.sharding import NamedSharding
+
+    def _place(r, t):
+        sh = getattr(t, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return jax.device_put(jax.numpy.asarray(r, dtype=t.dtype), sh)
+        return np.asarray(r)
+
+    restored = jax.tree_util.tree_map(_place, restored, template)
     return state.replace(params=restored["params"],
                          batch_stats=restored["batch_stats"],
                          opt_state=restored["opt_state"],

@@ -28,7 +28,8 @@ from irp_tpu import tracking
 from irp_tpu.config import DatasetInfo, ModelConfig, TrainConfig
 from irp_tpu.data.pipeline import CachedDataset
 from irp_tpu.ops.metrics import classification_report, confusion_matrix
-from irp_tpu.train.checkpoint import export_torch_pth, save_weights_npz
+from irp_tpu.train.checkpoint import (export_torch_pth, latest_checkpoint,
+                                      save_checkpoint, save_weights_npz)
 from irp_tpu.train.fit import fit
 from irp_tpu.train.loop import evaluate_full
 from irp_tpu.utils.viz import plot_confusion_matrix, plot_image_grid
@@ -106,12 +107,19 @@ def train_final_model(study, train_cached: CachedDataset,
                       epochs_factor: float = 1.2,
                       checkpoint_dir: Optional[str] = None,
                       experiment: str = "animals10",
-                      verbose: bool = True) -> Optional[FinalResult]:
+                      verbose: bool = True,
+                      resume: bool = False) -> Optional[FinalResult]:
     """Retrain with the best hyperparameters on all data + full test eval.
 
     ``epochs_factor`` is accepted for parity with the reference signature
     (final.py:158) — the reference accepts it but trains exactly
     ``recommended_epochs``; we do the same.
+
+    ``resume=True`` (requires ``checkpoint_dir``) continues a killed run
+    from its latest per-epoch Orbax checkpoint — full TrainState, so Adam
+    moments and the schedule position carry over.  Net-new over the
+    reference (per-epoch torch.save only, no restore path,
+    final.py:339-340).
     """
     if study is None or not study.get_trials():
         print("No valid study available. Cannot train final model.")
@@ -155,21 +163,31 @@ def train_final_model(study, train_cached: CachedDataset,
                         "mode": mode})
 
         on_epoch_end = None
+        restore_from, start_epoch = None, 0
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
+            if resume:
+                restore_from, start_epoch = latest_checkpoint(checkpoint_dir)
+                if verbose and restore_from:
+                    print(f"Resuming from {restore_from} "
+                          f"(epoch {start_epoch})")
+
             # Per-epoch checkpoints (reference final.py:339-340 saves a
-            # state_dict every epoch).
+            # state_dict every epoch; ours also keeps the full TrainState
+            # for exact resume).
             def on_epoch_end(epoch, val_acc, state=None):
                 if state is not None:
                     save_weights_npz(
                         os.path.join(checkpoint_dir,
                                      f"checkpoint_epoch_{epoch:03d}.npz"),
                         state.params, state.batch_stats)
+                    save_checkpoint(checkpoint_dir, state, step=epoch)
                 return False
 
         result = fit(train_cached, None, info, model_cfg, train_cfg,
                      mesh=mesh, logger=run, mode=mode, verbose=verbose,
-                     on_epoch_end=on_epoch_end)
+                     on_epoch_end=on_epoch_end,
+                     restore_from=restore_from, start_epoch=start_epoch)
         state = result.state
 
         artifact_dir = tempfile.mkdtemp(prefix="irp_final_")

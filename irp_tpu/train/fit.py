@@ -63,9 +63,20 @@ class FitResult:
 def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         info: DatasetInfo, model_cfg: ModelConfig, train_cfg: TrainConfig,
         mesh=None, logger=None, on_epoch_end=None, mode: str = "hbm",
-        verbose: bool = False, use_class_weights: bool = True) -> FitResult:
+        verbose: bool = False, use_class_weights: bool = True,
+        restore_from: Optional[str] = None,
+        start_epoch: int = 0) -> FitResult:
     """End-to-end fine-tune.  mode='hbm' keeps the dataset in device memory
-    (the fast path); 'stream' feeds uint8 batches from host."""
+    (the fast path); 'stream' feeds uint8 batches from host.
+
+    ``restore_from``/``start_epoch``: resume a killed run from an Orbax
+    checkpoint (train.checkpoint.save_checkpoint): the full TrainState —
+    params, batch stats, Adam moments, and the OneCycle schedule step —
+    is restored, and training continues at ``start_epoch`` with the exact
+    per-epoch shuffle/augmentation streams it would have used (epoch keys
+    are derived by fold_in, not loop order), so 'train k epochs, resume,
+    train to n' reproduces an uninterrupted n-epoch run bit-for-bit.
+    Net-new over the reference (no mid-run resume, SURVEY §5)."""
     mesh = mesh or make_mesh()
     key = jax.random.PRNGKey(train_cfg.seed)
     init_key, train_key = jax.random.split(key)
@@ -80,6 +91,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     steps_per_epoch = compute_steps_per_epoch(train_cfg, len(train_cached))
     state = create_train_state(model, variables, train_cfg, model_cfg,
                                steps_per_epoch)
+    if restore_from is not None:
+        from irp_tpu.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(restore_from, state)
 
     cw = np.asarray(info.class_weights, np.float32) if use_class_weights else None
     dtype = jnp.dtype(model_cfg.compute_dtype)
@@ -88,8 +103,18 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         from irp_tpu.train.step import make_hbm_epoch_step
 
         hbm = HBMDataset(train_cached, mesh, shuffle_seed=train_cfg.seed)
+        if start_epoch > 0 and train_cfg.hbm_reshuffle:
+            # local_reshuffle composes in place; replay the permutations
+            # the skipped epochs would have applied so a resumed run sees
+            # the exact data order of an uninterrupted one.
+            for past in range(1, start_epoch):
+                hbm.local_reshuffle(train_cfg.seed + 1000003 * past)
         sampler = EpochSampler(hbm, train_cfg.batch_size,
                                seed=train_cfg.seed)
+        # the sampler's RNG stream advances one epoch_offsets() call per
+        # epoch — fast-forward past the skipped epochs for the same reason
+        for _ in range(start_epoch):
+            sampler.epoch_offsets(steps_per_epoch)
         # bf16 training also augments in bf16 (half the HBM traffic;
         # quantization is below augmentation noise); f32 stays f32.
         aug_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
@@ -200,7 +225,8 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     state, history, best = train_model(
         state, run_epoch, eval_fn, train_cfg.max_epochs,
         patience=train_cfg.patience, logger=logger,
-        on_epoch_end=on_epoch_end, verbose=verbose)
+        on_epoch_end=on_epoch_end, verbose=verbose,
+        start_epoch=start_epoch)
 
     return FitResult(state=state, history=history, best_val_acc=best,
                      steps_per_epoch=steps_per_epoch, mesh=mesh,

@@ -141,7 +141,7 @@ def restore_weights(state, snapshot):
 def train_model(state, run_epoch: Callable, eval_fn: Callable,
                 max_epochs: int, patience: int = 4,
                 logger=None, on_epoch_end: Optional[Callable] = None,
-                verbose: bool = False):
+                verbose: bool = False, start_epoch: int = 0):
     """Early-stopped multi-epoch fit (reference train.py:111-189).
 
     ``run_epoch(state, epoch) -> (state, train_loss, train_acc_pct)``
@@ -151,6 +151,9 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
     the LAST epoch's weights are returned, never a stale snapshot.
     ``on_epoch_end(epoch, val_acc) -> True to stop`` (pruning hook for the
     hyperopt tiers, reference hyperopt.py:214-247).
+    ``start_epoch``: resume point — the loop runs epochs
+    [start_epoch, max_epochs); pass a state restored from a checkpoint
+    (net-new over the reference, which has no mid-run resume, SURVEY §5).
     Returns (state_with_best_weights, history, best_val_acc).
     """
     history = {"train_loss": [], "train_acc": [], "val_loss": [],
@@ -159,7 +162,7 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
     best_snapshot = None
     no_improve = 0
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         state, train_loss, train_acc = run_epoch(state, epoch)
         val = eval_fn(state)
 

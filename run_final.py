@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--cache-dir", default="./data/cache")
     p.add_argument("--checkpoint-dir", default=None,
                    help="directory for per-epoch Orbax checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a killed run from the latest checkpoint "
+                        "in --checkpoint-dir (full TrainState: Adam "
+                        "moments + schedule position carry over)")
     p.add_argument("--pretrained", default=None,
                    help="torchvision resnet50 .pth to initialize from")
     p.add_argument("--depth", type=int, default=50)
@@ -80,10 +84,14 @@ def main(argv=None):
     model_base = ModelConfig(depth=args.depth, num_classes=info.num_classes,
                              image_size=args.image_size,
                              pretrained_path=args.pretrained)
+    if args.resume and not args.checkpoint_dir:
+        print("--resume requires --checkpoint-dir", file=sys.stderr)
+        return 2
     result = train_final_model(study, train_cached, test_cached, info,
                                model_base=model_base,
                                checkpoint_dir=args.checkpoint_dir,
-                               experiment=args.experiment)
+                               experiment=args.experiment,
+                               resume=args.resume)
     if result is None:
         return 1
     print(f"\nFinal test accuracy: {result.test_acc:.2f}%  "
