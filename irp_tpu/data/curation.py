@@ -66,13 +66,27 @@ def prepare_animal_dataset(dataset_path: str,
                            destination_dir: str = "./data/raw",
                            translate: Optional[Dict[str, str]] = None,
                            verbose: bool = True) -> Dict:
-    """Copy ``<dataset>/raw-img/<italian>`` to ``<dest>/<english>``."""
-    translate = translate or ANIMALS10_TRANSLATE
+    """Copy ``<dataset>/raw-img/<italian>`` to ``<dest>/<english>``.
+
+    Also accepts an already-extracted layout where the class directories
+    (italian or english names) sit directly under ``dataset_path`` with no
+    ``raw-img`` level — english names pass through untranslated.
+    """
+    translate = dict(translate or ANIMALS10_TRANSLATE)
+    # already-english dirs pass through (extracted/renamed datasets)
+    for english in list(translate.values()):
+        translate.setdefault(english, english)
     source_dir = os.path.join(dataset_path, "raw-img")
     if not os.path.isdir(source_dir):
-        if verbose:
-            print(f"Source directory not found: {source_dir}")
-        return {"error": "Source directory not found"}
+        if os.path.isdir(dataset_path) and any(
+                d in translate
+                for d in os.listdir(dataset_path)
+                if os.path.isdir(os.path.join(dataset_path, d))):
+            source_dir = dataset_path  # class dirs at the top level
+        else:
+            if verbose:
+                print(f"Source directory not found: {source_dir}")
+            return {"error": "Source directory not found"}
     os.makedirs(destination_dir, exist_ok=True)
 
     class_stats: Dict[str, int] = {}
@@ -368,6 +382,56 @@ def display_dataset_report(analysis: DatasetAnalysis,
     return out
 
 
+def _summary_frame(analysis: DatasetAnalysis):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "Total Classes": [len(analysis.class_names)],
+        "Total Images": [analysis.total_images],
+        "Avg Images/Class": [analysis.total_images
+                             / max(1, len(analysis.class_names))],
+        "Unique Formats": [len(analysis.formats)],
+        "Corrupted Files": [len(analysis.corrupted_files)],
+    })
+
+
+def _small_image_frame(analysis: DatasetAnalysis):
+    import pandas as pd
+
+    return pd.DataFrame(
+        [{"Threshold": k.replace("below_", "< ") + "px", "Count": v,
+          "% of Total":
+          f"{v / max(1, analysis.total_images) * 100:.1f}%"}
+         for k, v in analysis.small_image_counts.items()])
+
+
+def _class_distribution_frame(analysis: DatasetAnalysis):
+    import pandas as pd
+
+    df = pd.DataFrame(list(analysis.class_counts.items()),
+                      columns=["Class", "Count"])
+    if not df.empty:
+        df["% Total"] = (df["Count"] / max(1, analysis.total_images)
+                         * 100).round(1)
+        df = df.sort_values("Count", ascending=False)
+    return df
+
+
+def _resolution_frame(analysis: DatasetAnalysis):
+    import pandas as pd
+
+    rs = analysis.resolution_stats
+    if not rs:
+        return None
+    return pd.DataFrame({
+        "Metric": ["Average", "Minimum", "Maximum"],
+        "Width": [round(rs["avg_width"], 1), rs["min_width"],
+                  rs["max_width"]],
+        "Height": [round(rs["avg_height"], 1), rs["min_height"],
+                   rs["max_height"]],
+    })
+
+
 def render_analysis_report(analysis: DatasetAnalysis,
                            sample_grid_name: str = "sample_images.png") -> str:
     """Render the analysis in the committed golden layout.
@@ -397,52 +461,27 @@ def render_analysis_report(analysis: DatasetAnalysis,
 
     # Summary Statistics (reference :136-148)
     w("Dataset Summary Statistics")
-    summary_df = pd.DataFrame({
-        "Total Classes": [len(analysis.class_names)],
-        "Total Images": [analysis.total_images],
-        "Avg Images/Class": [analysis.total_images
-                             / max(1, len(analysis.class_names))],
-        "Unique Formats": [len(analysis.formats)],
-        "Corrupted Files": [len(analysis.corrupted_files)],
-    })
     w("\nKEY STATISTICS:")
-    w(summary_df.to_string(index=False))
+    w(_summary_frame(analysis).to_string(index=False))
 
     # Small Images (reference :150-163)
     w("Small Image Analysis")
-    rows = []
-    for threshold, count in analysis.small_image_counts.items():
-        percent = count / max(1, analysis.total_images) * 100
-        rows.append({"Threshold": threshold.replace("below_", "< ") + "px",
-                     "Count": count, "% of Total": f"{percent:.1f}%"})
     w("\nSMALL IMAGE DISTRIBUTION:")
-    w(pd.DataFrame(rows).to_string(index=False))
+    w(_small_image_frame(analysis).to_string(index=False))
 
     # Class Distribution (reference :165-175)
     w("Class Distribution")
-    class_df = pd.DataFrame(list(counts.items()),
-                            columns=["Class", "Count"])
+    class_df = _class_distribution_frame(analysis)
     if not class_df.empty:
-        class_df["% Total"] = (class_df["Count"]
-                               / max(1, analysis.total_images)
-                               * 100).round(1)
-        class_df = class_df.sort_values("Count", ascending=False)
         w("\nCLASS DISTRIBUTION (SORTED BY COUNT):")
         w(class_df.to_string(index=False))
 
     # Image Characteristics (reference :177-237)
     w("Image Characteristics")
-    rs = analysis.resolution_stats
-    if rs:
-        res_df = pd.DataFrame({
-            "Metric": ["Average", "Minimum", "Maximum"],
-            "Width": [round(rs["avg_width"], 1), rs["min_width"],
-                      rs["max_width"]],
-            "Height": [round(rs["avg_height"], 1), rs["min_height"],
-                       rs["max_height"]],
-        }).set_index("Metric")
+    res_df = _resolution_frame(analysis)
+    if res_df is not None:
         w("\nRESOLUTION STATISTICS (PIXELS):")
-        w(res_df.to_string())
+        w(res_df.set_index("Metric").to_string())
 
     ars = analysis.aspect_ratio_stats
     if ars:
@@ -523,43 +562,22 @@ def render_analysis_markdown(analysis: DatasetAnalysis,
     parts.append(f"```\n{structure}```")
 
     parts.append("## 📊 Dataset Summary Statistics")
-    parts.append(pd.DataFrame({
-        "Total Classes": [len(analysis.class_names)],
-        "Total Images": [analysis.total_images],
-        "Avg Images/Class": [round(analysis.total_images
-                                   / max(1, len(analysis.class_names)), 1)],
-        "Unique Formats": [len(analysis.formats)],
-        "Corrupted Files": [len(analysis.corrupted_files)],
-    }).to_markdown(index=False))
+    summary = _summary_frame(analysis)
+    summary["Avg Images/Class"] = summary["Avg Images/Class"].round(1)
+    parts.append(summary.to_markdown(index=False))
 
     parts.append("## 🔍 Small Image Analysis")
-    parts.append(pd.DataFrame(
-        [{"Threshold": k.replace("below_", "< ") + "px", "Count": v,
-          "% of Total":
-          f"{v / max(1, analysis.total_images) * 100:.1f}%"}
-         for k, v in analysis.small_image_counts.items()]
-    ).to_markdown(index=False))
+    parts.append(_small_image_frame(analysis).to_markdown(index=False))
 
     parts.append("## 📁 Class Distribution")
-    class_df = pd.DataFrame(list(counts.items()),
-                            columns=["Class", "Count"])
+    class_df = _class_distribution_frame(analysis)
     if not class_df.empty:
-        class_df["% Total"] = (class_df["Count"]
-                               / max(1, analysis.total_images)
-                               * 100).round(1)
-        parts.append(class_df.sort_values(
-            "Count", ascending=False).to_markdown(index=False))
+        parts.append(class_df.to_markdown(index=False))
 
     parts.append("## 🖼️ Image Characteristics")
-    rs = analysis.resolution_stats
-    if rs:
-        parts.append(pd.DataFrame({
-            "Metric": ["Average", "Minimum", "Maximum"],
-            "Width": [round(rs["avg_width"], 1), rs["min_width"],
-                      rs["max_width"]],
-            "Height": [round(rs["avg_height"], 1), rs["min_height"],
-                       rs["max_height"]],
-        }).to_markdown(index=False))
+    res_df = _resolution_frame(analysis)
+    if res_df is not None:
+        parts.append(res_df.to_markdown(index=False))
 
     parts.append("## 📄 File Formats")
     parts.append(", ".join(f"`{f}`" for f in analysis.formats) or "none")

@@ -118,13 +118,22 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                                        native_decoder_available)
         if native_decoder_available():
             batch_decoder = decode_batch_native
+    custom_decoder = decoder is not None and decoder is not decode_to_rgb256
     decoder = decoder or decode_to_rgb256
 
     meta_path = img_path = lab_path = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         fp = _fingerprint(shard_paths)
-        base = os.path.join(cache_dir, f"cache_{fp}_{size}")
+        # the decoder is part of the cache identity: native and PIL caches
+        # differ by ±1/255 and must not be silently interchanged
+        if custom_decoder:
+            dec_tag = "_custom"
+        elif batch_decoder is not None:
+            dec_tag = "_native"
+        else:
+            dec_tag = ""
+        base = os.path.join(cache_dir, f"cache_{fp}_{size}{dec_tag}")
         meta_path, img_path, lab_path = (base + ".json", base + ".img.npy",
                                          base + ".lab.npy")
         if all(os.path.exists(p) for p in (meta_path, img_path, lab_path)):
@@ -140,6 +149,7 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                     shard_paths=tuple(meta["shard_paths"]))
 
     images, labels, keys, shard_ids = [], [], [], []
+    skipped = []
     shard_list = list(shard_paths)
     for shard_i, shard in enumerate(shard_list):
         from irp_tpu.data.tar import iter_shard
@@ -164,11 +174,19 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                 try:
                     img = decoder(jpg, size)
                 except Exception:  # noqa: BLE001 — skip corrupt samples
+                    skipped.append(key)
                     continue
             images.append(img)
             labels.append(label)
             keys.append(key)
             shard_ids.append(shard_i)
+    if skipped:
+        # loud, bounded report: a silently shrunken cache would desync
+        # class_weights/total_samples from the data actually trained on
+        shown = ", ".join(skipped[:5])
+        more = f" (+{len(skipped) - 5} more)" if len(skipped) > 5 else ""
+        print(f"WARNING: build_cache skipped {len(skipped)} undecodable "
+              f"sample(s): {shown}{more}")
 
     images_arr = np.stack(images) if images else np.zeros(
         (0, size, size, 3), np.uint8)

@@ -42,6 +42,24 @@ class Classifier(nn.Module):
         fused = {"on": True, "off": False,
                  "auto": jax.default_backend() == "tpu",
                  }[cfg.fused_frozen_blocks]
+        if cfg.fused_frozen_blocks == "on":
+            # 'on' means FORCED — reject configs the kernel can't serve
+            # rather than silently running unfused ('auto' degrades
+            # silently by design; 'on' must not).
+            from irp_tpu.models.resnet import BOTTLENECK_DEPTHS
+            problems = []
+            if cfg.depth not in BOTTLENECK_DEPTHS:
+                problems.append(f"depth {cfg.depth} has no bottlenecks")
+            if cfg.bn_stats_mode != "trainable_only":
+                problems.append("bn_stats_mode must be 'trainable_only'")
+            if cfg.compute_dtype != "bfloat16":
+                problems.append("compute_dtype must be 'bfloat16'")
+            if precision is not None:
+                problems.append("precision must be 'default'")
+            if problems:
+                raise ValueError(
+                    "fused_frozen_blocks='on' is incompatible with this "
+                    "config: " + "; ".join(problems))
         self.backbone = ResNet(depth=cfg.depth, dtype=dtype,
                                frozen_prefix=frozen_prefix,
                                bn_stats_mode=cfg.bn_stats_mode,

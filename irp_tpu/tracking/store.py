@@ -49,13 +49,14 @@ def _root() -> str:
 
 def _write_meta(path: str, meta: Dict) -> None:
     # meta.yaml in the trivial "key: value" subset MLflow uses.  String
-    # values that would corrupt the line format (newlines) or not survive
+    # values that would corrupt the line format (newlines — including a
+    # lone \r, which universal-newlines reading splits) or not survive
     # the read-side strip (leading/trailing whitespace) are JSON-quoted —
     # still valid YAML, so external YAML readers keep working.
-    with open(path, "w") as f:
+    with open(path, "w", newline="") as f:
         for k, v in meta.items():
             if isinstance(v, str) and (v != v.strip() or "\n" in v
-                                       or v.startswith('"')):
+                                       or "\r" in v or v.startswith('"')):
                 v = json.dumps(v)
             f.write(f"{k}: {v}\n")
 

@@ -74,8 +74,14 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     params, batch stats, Adam moments, and the OneCycle schedule step —
     is restored, and training continues at ``start_epoch`` with the exact
     per-epoch shuffle/augmentation streams it would have used (epoch keys
-    are derived by fold_in, not loop order), so 'train k epochs, resume,
-    train to n' reproduces an uninterrupted n-epoch run bit-for-bit.
+    are derived by fold_in, not loop order).  For a run WITHOUT a
+    validation set (the final trainer, this feature's target), 'train k
+    epochs, crash, resume to n' reproduces an uninterrupted n-epoch run
+    bit-for-bit (tested).  With a validation set, the weight/optimizer
+    trajectory is still exact but the early-stopping bookkeeping
+    (best-so-far snapshot, patience counter) restarts at the resume
+    point — a resumed run can return a later best epoch or stop at a
+    different epoch than the uninterrupted one.
     Net-new over the reference (no mid-run resume, SURVEY §5)."""
     mesh = mesh or make_mesh()
     key = jax.random.PRNGKey(train_cfg.seed)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def main(argv=None):
@@ -47,7 +48,10 @@ def main(argv=None):
         if not args.kaggle_path:
             p.error("--kaggle-path required unless --skip-ingest")
         print("== Ingest ==")
-        prepare_animal_dataset(args.kaggle_path, raw)
+        ingest = prepare_animal_dataset(args.kaggle_path, raw)
+        if "error" in ingest:
+            print(f"Ingest failed: {ingest['error']}", file=sys.stderr)
+            return 1
 
     print("== Analyze ==")
     analysis = analyze_dataset(raw)

@@ -161,3 +161,35 @@ def test_hash_detects_resized_duplicates():
     assert h1 == h2
     other = _img(rng, 256, 256)
     assert compute_image_hash(other) != h1
+
+
+def test_prepare_accepts_extracted_layout(tmp_path):
+    """Pre-extracted datasets (class dirs at top level, no raw-img/,
+    italian or english names) must ingest rather than silently erroring
+    downstream (round-2 review finding)."""
+    import numpy as np
+    from PIL import Image
+
+    from irp_tpu.data.curation import prepare_animal_dataset
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "extracted"
+    for d in ("cane", "cat"):  # one italian, one already-english
+        (src / d).mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(src / d / f"{i}.jpg")
+    out = prepare_animal_dataset(str(src), str(tmp_path / "raw"),
+                                 verbose=False)
+    assert "error" not in out
+    assert out["class_stats"] == {"dog": 2, "cat": 2}
+    assert (tmp_path / "raw" / "dog" / "0.jpg").exists()
+    assert (tmp_path / "raw" / "cat" / "0.jpg").exists()
+
+
+def test_prepare_missing_source_errors(tmp_path):
+    from irp_tpu.data.curation import prepare_animal_dataset
+
+    out = prepare_animal_dataset(str(tmp_path / "nope"),
+                                 str(tmp_path / "raw"), verbose=False)
+    assert out == {"error": "Source directory not found"}

@@ -3,6 +3,7 @@ batched cache-build path (VERDICT r1 weak #6: the thread pool must see
 whole shards, not one image per call)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -59,3 +60,52 @@ def test_build_cache_native_matches_pil(tmp_path):
     np.testing.assert_array_equal(nat.labels, pil.labels)
     diff = np.abs(nat.images.astype(int) - pil.images.astype(int))
     assert diff.max() <= 1
+
+
+def test_cache_fingerprint_separates_decoders(tmp_path):
+    """Native- and PIL-built caches differ by ±1/255 and must not be
+    silently interchanged: the decoder is part of the cache identity."""
+    from tests.synth import make_synthetic_shards
+
+    from irp_tpu.data.analyze import analyze_webdataset
+
+    meta = make_synthetic_shards(str(tmp_path / "s"), num_classes=2,
+                                 per_class=6, samples_per_shard=12, seed=6,
+                                 size=80)
+    info = analyze_webdataset(meta["shards"])
+    cache_dir = str(tmp_path / "cache")
+    build_cache(meta["shards"], info.class_names, cache_dir=cache_dir,
+                size=64)
+    build_cache(meta["shards"], info.class_names, cache_dir=cache_dir,
+                size=64, use_native=True)
+    import glob as _glob
+    metas = sorted(_glob.glob(os.path.join(cache_dir, "cache_*.json")))
+    names = [os.path.basename(m) for m in metas]
+    assert len(metas) == 2, names
+    assert any("_native" in n for n in names), names
+
+
+def test_build_cache_warns_on_skipped_samples(tmp_path, capsys):
+    """A corrupt sample is skipped LOUDLY (a silently shrunken cache
+    desyncs class_weights/total_samples from the trained data)."""
+    from irp_tpu.data.tar import ShardWriter
+
+    w = ShardWriter(str(tmp_path), "train", samples_per_shard=10)
+    from tests.synth import make_image
+
+    rng = np.random.default_rng(0)
+    import io as _io
+
+    from PIL import Image as _Image
+    with w:
+        for i, cls in enumerate(["a", "a", "b"]):
+            buf = _io.BytesIO()
+            make_image(rng, 0, 2, 64).save(buf, format="JPEG")
+            payload = buf.getvalue() if i != 1 else b"corrupt bytes"
+            w.write({"__key__": f"{cls}_{i}", "jpg": payload, "cls": cls,
+                     "json": {"class": cls, "id": str(i)}})
+    cached = build_cache(w.shard_paths, ("a", "b"), size=64)
+    out = capsys.readouterr().out
+    assert len(cached) == 2
+    assert "skipped 1 undecodable" in out
+    assert "a_1" in out

@@ -132,3 +132,17 @@ def test_gradients_identical(fused_pair):
             # frozen prefix: both exactly zero
             assert not np.any(np.asarray(g)), key
             assert not np.any(np.asarray(other)), key
+
+
+def test_fused_on_rejects_ineligible_config():
+    """'on' means forced: configs the kernel can't serve must raise, not
+    silently run unfused (round-2 review finding)."""
+    with pytest.raises(ValueError, match="compute_dtype"):
+        init_classifier(ModelConfig(depth=50, num_classes=3, image_size=64,
+                                    fused_frozen_blocks="on",
+                                    compute_dtype="float32"),
+                        jax.random.PRNGKey(0), image_size=64)
+    with pytest.raises(ValueError, match="bottleneck"):
+        init_classifier(ModelConfig(depth=18, num_classes=3, image_size=64,
+                                    fused_frozen_blocks="on"),
+                        jax.random.PRNGKey(0), image_size=64)

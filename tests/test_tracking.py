@@ -97,6 +97,7 @@ def test_failed_run_status(tmp_path):
     "  padded  ",                  # read-side strip would eat these
     'quoted "x" name',             # quote char must survive
     "multi\nline",                 # newline would corrupt the line format
+    "a\rb",                        # lone \r: universal newlines split it
 ])
 def test_run_name_meta_roundtrip(name):
     tracking.set_experiment("meta_roundtrip")
