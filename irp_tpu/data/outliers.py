@@ -50,22 +50,20 @@ def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
     import jax.numpy as jnp
 
     from irp_tpu.models import Classifier, init_classifier
-    from irp_tpu.ops.preprocess import center_crop
-    from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD
 
     model_cfg = model_cfg or ModelConfig()
     model, init_vars = init_classifier(model_cfg, jax.random.PRNGKey(0),
                                        image_size=model_cfg.image_size)
     variables = variables or init_vars
 
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
     size = model_cfg.image_size
 
     @jax.jit
     def feature_step(images_u8):
-        x = center_crop(images_u8, size).astype(jnp.float32) / 255.0
-        x = ((x - mean) / std).astype(jnp.dtype(model_cfg.compute_dtype))
+        from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+        x = eval_preprocess_batch(images_u8, size,
+                                  jnp.dtype(model_cfg.compute_dtype))
         return model.apply(variables, x, method=Classifier.features)
 
     n = len(cached)

@@ -122,7 +122,9 @@ def plot_optimization_history(study: Study, path: str) -> str:
               and math.isfinite(t.value)]
     xs = [t.number for t in trials]
     ys = [t.value for t in trials]
-    best_so_far = np.maximum.accumulate(ys) if ys else []
+    acc = (np.minimum.accumulate if study.direction == "minimize"
+           else np.maximum.accumulate)
+    best_so_far = acc(ys) if ys else []
     plt.figure(figsize=(9, 5))
     plt.scatter(xs, ys, s=14, label="trial value")
     if len(xs):

@@ -166,6 +166,7 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 raise
             best_val_acc = result.best_val_acc
 
+            fold_accuracies.append(best_val_acc)
             if fold_idx == 0:
                 # tier-2: first-fold accuracy floor
                 if best_val_acc < ctx.hcfg.first_fold_min_acc:
@@ -174,9 +175,7 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                     raise TrialPruned(
                         f"first fold best {best_val_acc:.2f}% < "
                         f"{ctx.hcfg.first_fold_min_acc:.2f}%")
-                fold_accuracies.append(best_val_acc)
             else:
-                fold_accuracies.append(best_val_acc)
                 avg = sum(fold_accuracies) / len(fold_accuracies)
                 run.log_metrics(
                     {f"avg_acc_after_{fold_idx + 1}_folds": avg})

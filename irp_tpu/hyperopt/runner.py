@@ -61,8 +61,17 @@ def run_kfold_optimization(ctx: HyperoptContext,
 
         from irp_tpu.hyperopt.parallel import run_parallel_trials
 
+        # one context per worker sub-mesh (they're created once), NOT per
+        # trial: dataclasses.replace re-runs __post_init__'s per-shard
+        # histogram scan and would empty the fold cache every trial
+        mesh_ctxs = {}
+
         def objective_for_mesh(trial, mesh):
-            mesh_ctx = dataclasses.replace(ctx, mesh=mesh)
+            mesh_ctx = mesh_ctxs.get(id(mesh))
+            if mesh_ctx is None:
+                mesh_ctx = dataclasses.replace(ctx, mesh=mesh)
+                mesh_ctx._fold_cache = ctx._fold_cache  # share fold memo
+                mesh_ctxs[id(mesh)] = mesh_ctx
             return objective_kfold(trial, mesh_ctx)
 
         run_parallel_trials(study, objective_for_mesh, n_trials,

@@ -182,28 +182,46 @@ class SQLiteStorage:
                 "WHERE trial_id=?", (state, value, time.time(), trial_id))
 
     def get_trials(self, study_id: int) -> List[FrozenTrial]:
+        # Four study-scoped queries total, grouped in Python.  get_trials
+        # runs on every suggest_* / pruner check / callback, so the naive
+        # 3-queries-per-trial form is O(trials^2) sqlite traffic over a
+        # sweep (and amplifies WAL contention in multi-process mode).
         with self._lock:
             rows = self._conn.execute(
                 "SELECT trial_id, number, state, value FROM trials "
                 "WHERE study_id=? ORDER BY number", (study_id,)).fetchall()
+            by_id = {}
             trials = []
             for trial_id, number, state, value in rows:
                 t = FrozenTrial(trial_id=trial_id, number=number, state=state,
                                 value=value)
-                for name, pv, dist in self._conn.execute(
-                        "SELECT param_name, param_value, distribution "
-                        "FROM trial_params WHERE trial_id=?", (trial_id,)):
+                by_id[trial_id] = t
+                trials.append(t)
+            for trial_id, name, pv, dist in self._conn.execute(
+                    "SELECT p.trial_id, p.param_name, p.param_value, "
+                    "p.distribution FROM trial_params p "
+                    "JOIN trials tr ON tr.trial_id = p.trial_id "
+                    "WHERE tr.study_id=?", (study_id,)):
+                t = by_id.get(trial_id)
+                if t is not None:
                     t.params[name] = json.loads(pv)
                     t.distributions[name] = load_distribution(dist)
-                for step, v in self._conn.execute(
-                        "SELECT step, value FROM trial_intermediate_values "
-                        "WHERE trial_id=?", (trial_id,)):
+            for trial_id, step, v in self._conn.execute(
+                    "SELECT i.trial_id, i.step, i.value "
+                    "FROM trial_intermediate_values i "
+                    "JOIN trials tr ON tr.trial_id = i.trial_id "
+                    "WHERE tr.study_id=?", (study_id,)):
+                t = by_id.get(trial_id)
+                if t is not None:
                     t.intermediate_values[step] = v
-                for key, v in self._conn.execute(
-                        "SELECT key, value FROM trial_user_attrs "
-                        "WHERE trial_id=?", (trial_id,)):
+            for trial_id, key, v in self._conn.execute(
+                    "SELECT a.trial_id, a.key, a.value "
+                    "FROM trial_user_attrs a "
+                    "JOIN trials tr ON tr.trial_id = a.trial_id "
+                    "WHERE tr.study_id=?", (study_id,)):
+                t = by_id.get(trial_id)
+                if t is not None:
                     t.user_attrs[key] = json.loads(v)
-                trials.append(t)
         return trials
 
     def close(self):

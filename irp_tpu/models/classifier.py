@@ -65,21 +65,37 @@ class Classifier(nn.Module):
                                bn_stats_mode=cfg.bn_stats_mode,
                                precision=precision,
                                fused_frozen_blocks=fused)
-        self.head_dropout1 = nn.Dropout(rate=cfg.dropout_rate)
         self.head_dense1 = nn.Dense(cfg.hidden_dim, dtype=dtype,
                                     param_dtype=jnp.float32,
                                     precision=precision)
-        self.head_dropout2 = nn.Dropout(rate=cfg.dropout_rate)
         self.head_dense2 = nn.Dense(cfg.num_classes, dtype=dtype,
                                     param_dtype=jnp.float32,
                                     precision=precision)
 
-    def __call__(self, x, train: bool = False):
+    def _dropout(self, x, rate, deterministic: bool):
+        """Inverted dropout with a RUNTIME rate.
+
+        ``rate`` may be a traced scalar: the sweep injects each trial's
+        dropout_rate as a step-function argument (like lr/wd in the
+        injected-hyperparams optimizer), so 200 trials with 200 distinct
+        rates share ONE compiled program instead of recompiling the
+        scanned epoch per trial (nn.Dropout's rate is a static module
+        attribute, which is what forced the recompile)."""
+        if deterministic:
+            return x
+        keep = 1.0 - jnp.asarray(rate, jnp.float32)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        scaled = x / jnp.maximum(keep, 1e-6).astype(x.dtype)
+        return jnp.where(mask, scaled, jnp.zeros_like(x))
+
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = (self.config.dropout_rate if dropout_rate is None
+                else dropout_rate)
         feats = self.backbone(x, train=train)
-        y = self.head_dropout1(feats, deterministic=not train)
+        y = self._dropout(feats, rate, deterministic=not train)
         y = self.head_dense1(y)
         y = nn.relu(y)
-        y = self.head_dropout2(y, deterministic=not train)
+        y = self._dropout(y, rate, deterministic=not train)
         y = self.head_dense2(y)
         return y.astype(jnp.float32)  # logits in f32 for a stable loss
 

@@ -87,7 +87,16 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     key = jax.random.PRNGKey(train_cfg.seed)
     init_key, train_key = jax.random.split(key)
 
-    model, variables = init_classifier(model_cfg, init_key,
+    # The module is built from a dropout-CANONICALIZED config and the
+    # trial's actual rate is injected at runtime through the step
+    # functions (Classifier._dropout): dropout is a continuous search
+    # dimension, and baking it into the module would recompile the
+    # scanned-epoch program for every draw of a 200-trial sweep.
+    import dataclasses as _dc
+
+    module_cfg = _dc.replace(model_cfg, dropout_rate=0.0)
+    dropout_rate = jnp.float32(model_cfg.dropout_rate)
+    model, variables = init_classifier(module_cfg, init_key,
                                        image_size=model_cfg.image_size)
     if model_cfg.pretrained_path:
         variables = merge_pretrained(
@@ -144,7 +153,7 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             offsets = sampler.epoch_offsets(steps_per_epoch)
             state, metrics = epoch_step(
                 state, hbm.images, hbm.labels, jnp.asarray(offsets),
-                jax.random.fold_in(train_key, epoch))
+                jax.random.fold_in(train_key, epoch), dropout_rate)
             loss = float(jnp.mean(metrics["loss"]))
             acc = float(jnp.mean(metrics["accuracy"])) * 100.0
             return state, loss, acc
@@ -161,7 +170,7 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
 
         def run_step(state, batch, key):
             images, labels, _ = batch
-            return step(state, images, labels, key)
+            return step(state, images, labels, key, dropout_rate)
 
         def batches_for_epoch(epoch):
             from irp_tpu.data.pipeline import prefetch_to_device

@@ -138,6 +138,18 @@ def restore_weights(state, snapshot):
     return state.replace(params=params, batch_stats=batch_stats)
 
 
+def _accepts_state(cb) -> bool:
+    """Does the on_epoch_end callback take a ``state`` parameter?"""
+    import inspect
+
+    try:
+        params = inspect.signature(cb).parameters
+    except (TypeError, ValueError):
+        return False
+    return "state" in params or any(
+        p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values())
+
+
 def train_model(state, run_epoch: Callable, eval_fn: Callable,
                 max_epochs: int, patience: int = 4,
                 logger=None, on_epoch_end: Optional[Callable] = None,
@@ -193,9 +205,13 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
 
         if on_epoch_end is not None:
             val_acc = val.accuracy if val is not None else math.nan
-            try:
+            # choose the call form by signature, not by try/except
+            # TypeError — the except would swallow TypeErrors raised
+            # INSIDE the callback (e.g. a failing checkpoint save) and
+            # silently retry without state, disabling checkpointing
+            if _accepts_state(on_epoch_end):
                 stop = on_epoch_end(epoch, val_acc, state=state)
-            except TypeError:
+            else:
                 stop = on_epoch_end(epoch, val_acc)
             if stop:
                 break

@@ -26,9 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from irp_tpu.models.classifier import weighted_cross_entropy
-from irp_tpu.ops.preprocess import center_crop
 from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+from irp_tpu.models.classifier import weighted_cross_entropy
 
 
 def _augment_normalize(images_u8, key, intensity: str, out_size: int,
@@ -47,18 +46,22 @@ def _augment_normalize(images_u8, key, intensity: str, out_size: int,
 
 def _eval_normalize(images_u8, out_size: int, dtype,
                     mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    x = center_crop(images_u8, out_size).astype(jnp.float32) / 255.0
-    mean = jnp.asarray(mean, jnp.float32)
-    std = jnp.asarray(std, jnp.float32)
-    return ((x - mean) / std).astype(dtype)
+    # single source of truth for the eval preprocessing contract
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    return eval_preprocess_batch(images_u8, out_size, dtype, mean, std)
 
 
 def _loss_and_updates(state, x, labels, dropout_key, class_weights,
-                      label_smoothing: float = 0.0):
+                      label_smoothing: float = 0.0, dropout_rate=None):
+    # dropout_rate None -> the module's configured rate; a traced scalar
+    # injects the rate at runtime (sweep-scale compile reuse, see
+    # Classifier._dropout)
     def loss_fn(params):
         logits, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            x, train=True, mutable=["batch_stats"],
+            x, train=True, dropout_rate=dropout_rate,
+            mutable=["batch_stats"],
             rngs={"dropout": dropout_key})
         loss = weighted_cross_entropy(logits, labels, class_weights,
                                       label_smoothing)
@@ -80,12 +83,12 @@ def make_train_step(class_weights=None, intensity: str = "medium",
                                                         jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, images_u8, labels, key):
+    def train_step(state, images_u8, labels, key, dropout_rate=None):
         aug_key, dropout_key = jax.random.split(key)
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                compute_dtype)
         return _loss_and_updates(state, x, labels, dropout_key, cw,
-                                 label_smoothing)
+                                 label_smoothing, dropout_rate)
 
     return train_step
 
@@ -126,14 +129,15 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                                                         jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, data_u8, labels_all, offset, key):
+    def train_step(state, data_u8, labels_all, offset, key,
+                   dropout_rate=None):
         images_u8, labels = _slice_batch(data_u8, labels_all, offset,
                                          per_device_batch)
         aug_key, dropout_key = jax.random.split(key)
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                compute_dtype)
         return _loss_and_updates(state, x, labels, dropout_key, cw,
-                                 label_smoothing)
+                                 label_smoothing, dropout_rate)
 
     return train_step
 
@@ -158,7 +162,8 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                                                         jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch_step(state, data_u8, labels_all, offsets, key):
+    def epoch_step(state, data_u8, labels_all, offsets, key,
+                   dropout_rate=None):
         def body(state, step_in):
             i, off = step_in
             step_key = jax.random.fold_in(key, i)
@@ -170,7 +175,8 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                                    work_dtype=aug_work_dtype)
             new_state, metrics = _loss_and_updates(state, x, labels,
                                                    dropout_key, cw,
-                                                   label_smoothing)
+                                                   label_smoothing,
+                                                   dropout_rate)
             return new_state, metrics
 
         num_steps = offsets.shape[0]

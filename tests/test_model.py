@@ -251,3 +251,42 @@ def test_features_method(model18):
     x = jnp.zeros((2, 32, 32, 3))
     feats = model.apply(variables, x, method=Classifier.features)
     assert feats.shape == (2, 512)
+
+
+def test_runtime_dropout_rate_override():
+    """Classifier accepts a (traced) call-time dropout_rate that overrides
+    the config rate — the sweep injects the trial's rate at runtime so
+    distinct rates share one compiled program (round-2 review: continuous
+    dropout_rate in ModelConfig forced a recompile per trial)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from irp_tpu.config import ModelConfig
+    from irp_tpu.models.classifier import init_classifier
+
+    cfg = ModelConfig(depth=18, num_classes=3, image_size=64,
+                      dropout_rate=0.0, compute_dtype="float32")
+    model, variables = init_classifier(cfg, jax.random.PRNGKey(0),
+                                       image_size=64)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 3)),
+                    jnp.float32)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    base = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                       rngs=rngs)[0]
+    # rate 0 override == config rate 0 (identical bits)
+    zero = model.apply(variables, x, train=True,
+                       dropout_rate=jnp.float32(0.0),
+                       mutable=["batch_stats"], rngs=rngs)[0]
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(zero))
+    # high rate visibly changes the logits
+    heavy = model.apply(variables, x, train=True,
+                        dropout_rate=jnp.float32(0.9),
+                        mutable=["batch_stats"], rngs=rngs)[0]
+    assert np.abs(np.asarray(heavy) - np.asarray(base)).max() > 1e-3
+    # eval ignores dropout entirely
+    e1 = model.apply(variables, x, train=False)
+    e2 = model.apply(variables, x, train=False,
+                     dropout_rate=jnp.float32(0.9))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

@@ -123,12 +123,15 @@ def test_fit_reuses_compiled_step_across_hyperparams(tmp_path):
     mcfg = ModelConfig(depth=18, num_classes=2, image_size=56,
                        compute_dtype="float32")
 
-    def run(lr, wd):
+    def run(lr, wd, dropout=0.3):
+        import dataclasses
+
+        m = dataclasses.replace(mcfg, dropout_rate=dropout)
         tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
                            max_epochs=1, patience=3, aug_intensity="low",
                            train_samples_per_epoch=16, eval_samples=8,
                            seed=0)
-        return fit(data, data, info, mcfg, tcfg, mesh=mesh, mode="hbm")
+        return fit(data, data, info, m, tcfg, mesh=mesh, mode="hbm")
 
     r1 = run(1e-3, 1e-5)
     # count compiled-cache misses via the jit function's cache size
@@ -140,6 +143,10 @@ def test_fit_reuses_compiled_step_across_hyperparams(tmp_path):
                    if k[0] == "hbm_epoch")
     misses_before = step_fn._cache_size()
     r2 = run(9e-3, 3e-4)  # different hyperparams, same structure
+    # dropout is a CONTINUOUS search dimension: a distinct rate per trial
+    # must also reuse the compiled program (runtime-injected rate,
+    # Classifier._dropout) — this was the last per-trial recompile source
+    r3 = run(1e-3, 1e-5, dropout=0.41)
     assert len(fitmod._STEP_MEMO) == memo_before
     assert step_fn._cache_size() == misses_before  # no retrace/recompile
     assert np.isfinite(r2.history["train_loss"][0])
@@ -147,3 +154,6 @@ def test_fit_reuses_compiled_step_across_hyperparams(tmp_path):
     a = np.asarray(r1.state.params["head_dense2"]["kernel"])
     b = np.asarray(r2.state.params["head_dense2"]["kernel"])
     assert np.abs(a - b).max() > 1e-6
+    # dropout actually applied: same lr/wd, different rate -> different run
+    c = np.asarray(r3.state.params["head_dense2"]["kernel"])
+    assert np.abs(a - c).max() > 1e-6
