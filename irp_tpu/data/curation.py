@@ -293,6 +293,11 @@ def analyze_dataset(dataset_path: str, seed: int = 0) -> DatasetAnalysis:
             try:
                 with Image.open(path) as img:
                     w, h = img.size
+                    # band COUNT, exactly like the reference
+                    # (data_curation.py:378-383) — this deliberately
+                    # classifies palette ('P') images as 1-channel
+                    # "grayscale" and leaves 'LA' (2 bands) unflagged;
+                    # kept as spec for cleaning-report parity.
                     channels = len(img.getbands())
                     img_hash = compute_image_hash(img)
             except Exception as e:  # noqa: BLE001 — corrupt detection
@@ -631,6 +636,11 @@ def clean_image_dataset(src_path: str, dest_path: str,
 
     # Priority order for attribution when multiple rules match a file:
     # grayscale > rgba > small > duplicate (matches reference accounting).
+    # Note a duplicate is excluded even when its first-seen "original" is
+    # itself excluded by another rule — per-image independent rules, same
+    # as the reference cleaner (data_curation.py:488-635); a content-aware
+    # "keep the best copy" policy would diverge from the committed
+    # cleaning-report numbers.
     reasons: Dict[str, str] = {}
     if not keep_duplicates:
         for dup, _ in analysis.duplicate_pairs:
@@ -840,6 +850,9 @@ def verify_webdataset(pattern_or_paths, num_samples: int = 5,
         except Exception as e:  # noqa: BLE001
             problems.append(f"{key}: {e}")
         checked += 1
+    if checked == 0:
+        # an empty match (typo'd glob, missing dir) must not pass
+        problems.append(f"no samples found for {pattern_or_paths!r}")
     ok = not problems
     if verbose:
         print(f"Verified {checked} samples: "

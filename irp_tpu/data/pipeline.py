@@ -148,11 +148,30 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                     shard_ids=np.asarray(meta["shard_ids"], np.int32),
                     shard_paths=tuple(meta["shard_paths"]))
 
-    images, labels, keys, shard_ids = [], [], [], []
-    skipped = []
     shard_list = list(shard_paths)
+    from irp_tpu.data.tar import iter_shard
+
+    writer, total = None, 0
+    if img_path is not None:
+        # Cache-backed builds stream decodes straight into the on-disk
+        # .npy: the list-of-arrays + np.stack + np.save form peaks at
+        # 2-3x the dataset size in host RAM (~5 GB dataset -> >10 GB).
+        # The pre-count pass reads tar headers+bytes but decodes nothing.
+        from numpy.lib.format import open_memmap
+
+        for shard in shard_list:
+            total += sum(1 for smp in iter_shard(shard)
+                         if smp.get("jpg") is not None
+                         and smp.get("cls") is not None)
+        if total:
+            writer = open_memmap(img_path + ".tmp.npy", mode="w+",
+                                 dtype=np.uint8,
+                                 shape=(total, size, size, 3))
+
+    images, labels, keys, shard_ids = [], [], [], []
+    written = 0
+    skipped = []
     for shard_i, shard in enumerate(shard_list):
-        from irp_tpu.data.tar import iter_shard
         pending = []  # (jpg, label, key) for this shard
         for sample in iter_shard(shard):
             jpg = sample.get("jpg")
@@ -176,7 +195,11 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
                 except Exception:  # noqa: BLE001 — skip corrupt samples
                     skipped.append(key)
                     continue
-            images.append(img)
+            if writer is not None:
+                writer[written] = img
+                written += 1
+            else:
+                images.append(img)
             labels.append(label)
             keys.append(key)
             shard_ids.append(shard_i)
@@ -188,19 +211,42 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
         print(f"WARNING: build_cache skipped {len(skipped)} undecodable "
               f"sample(s): {shown}{more}")
 
-    images_arr = np.stack(images) if images else np.zeros(
-        (0, size, size, 3), np.uint8)
     labels_arr = np.asarray(labels, np.int32)
     shard_ids_arr = np.asarray(shard_ids, np.int32)
 
     if cache_dir:
-        np.save(img_path, images_arr)
+        if writer is not None:
+            writer.flush()
+            del writer
+            tmp_img = img_path + ".tmp.npy"
+            if written == 0:
+                np.save(img_path, np.zeros((0, size, size, 3), np.uint8))
+                os.remove(tmp_img)
+            elif written == total:
+                os.replace(tmp_img, img_path)
+            else:  # skipped samples: stream-copy into a right-sized file
+                from numpy.lib.format import open_memmap
+
+                src = np.load(tmp_img, mmap_mode="r")
+                dst = open_memmap(img_path, mode="w+", dtype=np.uint8,
+                                  shape=(written, size, size, 3))
+                for i0 in range(0, written, 1024):
+                    dst[i0:i0 + 1024] = src[i0:i0 + 1024]
+                dst.flush()
+                del dst, src
+                os.remove(tmp_img)
+        else:
+            np.save(img_path, np.stack(images) if images else
+                    np.zeros((0, size, size, 3), np.uint8))
         np.save(lab_path, labels_arr)
         with open(meta_path, "w") as f:
             json.dump({"class_names": list(class_names), "keys": keys,
                        "shard_ids": [int(i) for i in shard_ids],
                        "shard_paths": shard_list}, f)
         images_arr = np.load(img_path, mmap_mode="r")
+    else:
+        images_arr = np.stack(images) if images else np.zeros(
+            (0, size, size, 3), np.uint8)
 
     return CachedDataset(images=images_arr, labels=labels_arr, keys=keys,
                          class_names=tuple(class_names),
@@ -399,8 +445,14 @@ class EpochSampler:
         steps = (max(n_local // bl, 1) if num_steps is None else num_steps)
         out = []
         while len(out) < steps:
-            # random phase in [0, bl) then disjoint windows in random order
-            roll = int(self.rng.integers(0, bl)) if n_local - bl >= bl else 0
+            # random phase then disjoint windows in random order.  The
+            # phase range is capped so windows stay in-bounds but always
+            # spans the leftover tail: with bl <= n_local < 2*bl a fixed
+            # phase 0 would leave samples [bl, n_local) unreachable in
+            # every epoch (round-2 review finding).
+            roll_bound = min(bl, n_local - bl + 1)
+            roll = int(self.rng.integers(0, roll_bound)) \
+                if roll_bound > 1 else 0
             windows = max((n_local - roll) // bl, 1)
             offs = roll + self.rng.permutation(windows) * bl
             out.extend(int(o) for o in offs)

@@ -87,10 +87,24 @@ def set_experiment(name: str) -> str:
         if meta.get("name") == name:
             _state["experiment_id"] = entry
             return entry
+    # exclusive-mkdir id allocation: two processes racing on an empty
+    # store must not both claim the same id and clobber each other's
+    # meta.yaml (cross-process sweep workers are a supported setup)
     existing = [int(e) for e in os.listdir(root) if e.isdigit()]
-    exp_id = str(max(existing) + 1 if existing else 0)
-    exp_dir = os.path.join(root, exp_id)
-    os.makedirs(exp_dir, exist_ok=True)
+    next_id = max(existing) + 1 if existing else 0
+    while True:
+        exp_id = str(next_id)
+        exp_dir = os.path.join(root, exp_id)
+        try:
+            os.makedirs(exp_dir, exist_ok=False)
+            break
+        except FileExistsError:
+            # a concurrent creator won this id — maybe with OUR name
+            meta = _read_meta(os.path.join(exp_dir, "meta.yaml"))
+            if meta.get("name") == name:
+                _state["experiment_id"] = exp_id
+                return exp_id
+            next_id += 1
     _write_meta(os.path.join(exp_dir, "meta.yaml"), {
         "artifact_location": exp_dir,
         "experiment_id": exp_id,
@@ -128,24 +142,29 @@ class Run:
 
     def log_params(self, params: Dict) -> None:
         pdir = os.path.join(self._dir, "params")
-        os.makedirs(pdir, exist_ok=True)
         for k, v in params.items():
-            with open(os.path.join(pdir, str(k)), "w") as f:
+            path = os.path.join(pdir, str(k))
+            # MLflow allows slash-namespaced keys ('val/acc'); its
+            # FileStore nests them as subdirectories — match that
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
                 f.write(str(v))
 
     def log_metrics(self, metrics: Dict, step: int = 0) -> None:
         mdir = os.path.join(self._dir, "metrics")
-        os.makedirs(mdir, exist_ok=True)
         ts = _now_ms()
         for k, v in metrics.items():
-            with open(os.path.join(mdir, str(k)), "a") as f:
+            path = os.path.join(mdir, str(k))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "a") as f:
                 f.write(f"{ts} {float(v)} {int(step)}\n")
 
     def set_tags(self, tags: Dict) -> None:
         tdir = os.path.join(self._dir, "tags")
-        os.makedirs(tdir, exist_ok=True)
         for k, v in tags.items():
-            with open(os.path.join(tdir, str(k)), "w") as f:
+            path = os.path.join(tdir, str(k))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
                 f.write(str(v))
 
     def log_artifact(self, local_path: str, artifact_path: str = "") -> str:
@@ -191,7 +210,8 @@ class Run:
     def __exit__(self, exc_type, *exc):
         if _state["run"] is self:
             _state["run"] = None
-        self.end("FAILED" if exc_type else "FINISHED")
+        if self.info.end_time is None:  # respect an explicit end() inside
+            self.end("FAILED" if exc_type else "FINISHED")
 
 
 def start_run(run_name: Optional[str] = None,
@@ -288,26 +308,35 @@ class TrackingClient:
                 return cand
         raise KeyError(f"run not found: {run_id}")
 
+    @staticmethod
+    def _iter_keys(base: str):
+        """All key files under base, as slash-relative key names (MLflow
+        nests slash-namespaced keys as subdirectories)."""
+        for d, _, files in os.walk(base):
+            for fname in files:
+                yield os.path.relpath(os.path.join(d, fname), base)
+
     def get_run(self, run_id: str) -> Dict:
-        rdir = self._run_dir(run_id)
+        rdir = self._run_dir(run_id)  # resolved ONCE per run (get_metric_
+        # history would otherwise rescan every experiment per metric)
         meta = _read_meta(os.path.join(rdir, "meta.yaml"))
         params = {}
         pdir = os.path.join(rdir, "params")
         if os.path.isdir(pdir):
-            for k in os.listdir(pdir):
+            for k in self._iter_keys(pdir):
                 with open(os.path.join(pdir, k)) as f:
                     params[k] = f.read()
         metrics = {}
         mdir = os.path.join(rdir, "metrics")
         if os.path.isdir(mdir):
-            for k in os.listdir(mdir):
-                hist = self.get_metric_history(run_id, k)
+            for k in self._iter_keys(mdir):
+                hist = self._metric_history_at(os.path.join(mdir, k))
                 if hist:
                     metrics[k] = hist[-1].value
         return {"info": meta, "params": params, "metrics": metrics}
 
-    def get_metric_history(self, run_id: str, key: str) -> List[MetricPoint]:
-        path = os.path.join(self._run_dir(run_id), "metrics", key)
+    @staticmethod
+    def _metric_history_at(path: str) -> List[MetricPoint]:
         if not os.path.exists(path):
             return []
         out = []
@@ -318,6 +347,10 @@ class TrackingClient:
                     out.append(MetricPoint(int(parts[0]), float(parts[1]),
                                            int(parts[2])))
         return out
+
+    def get_metric_history(self, run_id: str, key: str) -> List[MetricPoint]:
+        return self._metric_history_at(
+            os.path.join(self._run_dir(run_id), "metrics", key))
 
     def search_runs(self, experiment_name: str,
                     run_name: Optional[str] = None) -> List[Dict]:

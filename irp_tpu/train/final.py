@@ -164,6 +164,9 @@ def train_final_model(study, train_cached: CachedDataset,
 
         on_epoch_end = None
         restore_from, start_epoch = None, 0
+        if resume and not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir (there "
+                             "is nowhere to restore from)")
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             if resume:

@@ -104,3 +104,33 @@ def test_synthetic_fixture_schema(synthetic_shards):
     s = next(iter_samples(synthetic_shards["shards"]))
     assert set(s) == {"__key__", "jpg", "cls", "json"}
     assert s["jpg"][:2] == b"\xff\xd8"  # JPEG magic
+
+
+def test_epoch_sampler_reaches_tail_window():
+    """With bl <= n_local < 2*bl the random phase must span the leftover
+    tail — a fixed phase 0 would leave samples [bl, n_local) unreachable
+    in every epoch (round-2 review finding)."""
+    import numpy as np
+
+    from irp_tpu.data.pipeline import EpochSampler
+
+    class _FakeHBM:
+        data_axis_size = 1
+        local_count = 12
+
+    s = EpochSampler(_FakeHBM(), batch_size=8, seed=0)
+    offs = np.concatenate([s.epoch_offsets(4) for _ in range(16)])
+    assert offs.min() >= 0 and offs.max() <= 12 - 8
+    # with phase range [0, 4] the tail sample 11 is covered iff some
+    # offset > 0 appears
+    assert offs.max() > 0
+    # and every offset keeps the window in bounds
+    assert all(0 <= o <= 4 for o in offs)
+
+
+def test_verify_webdataset_empty_match_fails(tmp_path):
+    from irp_tpu.data.curation import verify_webdataset
+
+    out = verify_webdataset(str(tmp_path / "trian-*.tar"), verbose=False)
+    assert out["ok"] is False
+    assert out["checked"] == 0

@@ -105,3 +105,28 @@ def test_checkpoint_roundtrip_includes_opt_state(tmp_path):
 def test_latest_checkpoint_empty(tmp_path):
     assert latest_checkpoint(str(tmp_path)) == (None, 0)
     assert latest_checkpoint(str(tmp_path / "missing")) == (None, 0)
+
+
+def test_final_resume_requires_checkpoint_dir():
+    """resume=True without checkpoint_dir must raise, not silently
+    retrain from scratch (round-2 review finding)."""
+    from irp_tpu.train.final import train_final_model
+
+    class _FakeTrial:
+        params = {"max_epochs": 4, "learning_rate": 1e-3,
+                  "weight_decay": 1e-4, "batch_size": 8,
+                  "dropout_rate": 0.1, "augmentation_intensity": "low",
+                  "patience": 3}
+        user_attrs = {}
+
+    class _FakeStudy:
+        best_trial = _FakeTrial()
+
+        def get_trials(self):
+            return [self.best_trial]
+
+    cached, info = _tiny_dataset(n=8)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        train_final_model(_FakeStudy(), cached, cached, info,
+                          model_base=CFGS["model"], resume=True,
+                          verbose=False)

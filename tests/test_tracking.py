@@ -108,3 +108,46 @@ def test_run_name_meta_roundtrip(name):
     assert len(hits) == 1
     assert hits[0]["info"]["run_name"] == name
     assert hits[0]["info"]["run_id"] == run.info.run_id
+
+
+def test_slash_namespaced_keys_roundtrip(tmp_path):
+    """MLflow allows 'val/acc'-style keys and nests them as directories;
+    the store must write and read them back (round-2 review finding)."""
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    with tracking.start_run("slashes", experiment="slash_exp") as run:
+        run.log_params({"opt/lr": 0.01})
+        run.log_metrics({"val/acc": 91.5}, step=0)
+        run.log_metrics({"val/acc": 93.0}, step=1)
+    client = tracking.TrackingClient()
+    got = client.get_run(run.info.run_id)
+    assert got["params"]["opt/lr"] == "0.01"
+    assert got["metrics"]["val/acc"] == 93.0
+    hist = client.get_metric_history(run.info.run_id, "val/acc")
+    assert [p.value for p in hist] == [91.5, 93.0]
+
+
+def test_explicit_end_survives_context_exit(tmp_path):
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    with tracking.start_run("killed", experiment="end_exp") as run:
+        run.end("KILLED")
+    client = tracking.TrackingClient()
+    assert client.get_run(run.info.run_id)["info"]["status"] == "KILLED"
+
+
+def test_set_experiment_id_collision_retries(tmp_path):
+    """If another process claims the computed id first, allocation moves
+    on instead of clobbering the winner's meta.yaml."""
+    import os
+
+    root = str(tmp_path / "mlruns")
+    tracking.set_tracking_uri(root)
+    # simulate a racing creator that grabbed id 0 with a different name
+    os.makedirs(os.path.join(root, "0"))
+    from irp_tpu.tracking.store import _write_meta
+    _write_meta(os.path.join(root, "0", "meta.yaml"),
+                {"name": "other", "experiment_id": "0"})
+    exp_id = tracking.set_experiment("mine")
+    assert exp_id == "1"
+    client = tracking.TrackingClient()
+    assert client.get_experiment_by_name("other") == "0"
+    assert client.get_experiment_by_name("mine") == "1"
