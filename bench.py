@@ -81,7 +81,8 @@ def main():
     off_w = jnp.asarray(sampler.epoch_offsets(steps))
     state, metrics = step(state, hbm.images, hbm.labels, off_w,
                           jax.random.fold_in(key, 0))
-    float(np.asarray(metrics["loss"])[-1])  # hard sync (D2H)
+    last_loss = float(np.asarray(metrics["loss"])[-1])  # hard sync (D2H)
+    reps = max(reps, 1)  # BENCH_REPS=0 would leave dt=inf/last_loss unset
 
     # block_until_ready is only intermittently synchronous through this
     # TPU tunnel; a scalar readback of the last step's loss is a hard
@@ -115,8 +116,8 @@ def main():
         lg = eval_epoch(state, hbm_eval.images, eoffs)
         float(np.asarray(lg)[-1].reshape(-1)[-1])
         eval_dt = min(eval_dt, time.perf_counter() - t0)
-    eval_steps = eoffs.shape[0]
-    eval_imgs_per_sec = eval_steps * batch_size / eval_dt
+    # count REAL eval images, not the wrap-padded slots
+    eval_imgs_per_sec = hbm_eval.n / eval_dt
 
     n_chips = len(jax.devices())
     imgs_per_sec = steps * batch_size / dt

@@ -127,6 +127,11 @@ def main(argv=None):
             return rc
     else:
         print(f"Reusing existing shards in {wds_dir}")
+        if args.outliers:
+            print("WARNING: --outliers has no effect on already-built "
+                  "shards; delete the webdataset/ dir (or use a fresh "
+                  "--work-dir) to re-curate with outlier removal",
+                  file=sys.stderr)
 
     from irp_tpu import tracking
     from irp_tpu.config import HyperoptConfig, ModelConfig
@@ -160,20 +165,8 @@ def main(argv=None):
 
     space_fn = None
     if args.quick:
-        def space_fn(trial):
-            return {
-                "learning_rate": trial.suggest_float(
-                    "learning_rate", 1e-4, 5e-3, log=True),
-                "batch_size": trial.suggest_categorical("batch_size", [16]),
-                "weight_decay": trial.suggest_float(
-                    "weight_decay", 1e-6, 1e-4, log=True),
-                "dropout_rate": trial.suggest_float(
-                    "dropout_rate", 0.0, 0.3),
-                "augmentation_intensity": trial.suggest_categorical(
-                    "augmentation_intensity", ["low"]),
-                "patience": trial.suggest_int("patience", 3, 3),
-                "max_epochs": trial.suggest_int("max_epochs", 2, 2),
-            }
+        from irp_tpu.hyperopt.objective import quick_space
+        space_fn = quick_space
 
     ctx = HyperoptContext(cached=train_cached, info=info, hcfg=hcfg,
                           model_base=model_base, space_fn=space_fn)

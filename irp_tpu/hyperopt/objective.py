@@ -97,6 +97,23 @@ def suggest_space(trial: Trial) -> Dict:
     }
 
 
+def quick_space(trial: Trial) -> Dict:
+    """Restricted smoke-test space shared by the CLIs' --quick modes:
+    2 epochs, one batch size, low augmentation."""
+    return {
+        "learning_rate": trial.suggest_float("learning_rate", 1e-4, 5e-3,
+                                             log=True),
+        "batch_size": trial.suggest_categorical("batch_size", [16]),
+        "weight_decay": trial.suggest_float("weight_decay", 1e-6, 1e-4,
+                                            log=True),
+        "dropout_rate": trial.suggest_float("dropout_rate", 0.0, 0.3),
+        "augmentation_intensity": trial.suggest_categorical(
+            "augmentation_intensity", ["low"]),
+        "patience": trial.suggest_int("patience", 3, 3),
+        "max_epochs": trial.suggest_int("max_epochs", 2, 2),
+    }
+
+
 def _is_oom(exc: Exception) -> bool:
     s = str(exc)
     return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()

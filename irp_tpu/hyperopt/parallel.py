@@ -52,16 +52,31 @@ def run_parallel_trials(study: Study, objective_for_mesh: Callable,
     lock = threading.Lock()
     counter = {"done": 0}
 
+    def _tell_safe(study, trial, state, value=None):
+        try:
+            study.tell(trial, state, value)
+        except Exception:  # noqa: BLE001 — storage hiccup; trial stays
+            traceback.print_exc()  # RUNNING, recovered by orphan cleanup
+
     def worker(mesh, wid):
         while remaining.acquire(blocking=False):
-            trial = study.ask()
+            # ask/tell also hit the (possibly contended) SQLite storage;
+            # an exception there must not silently kill the worker thread
+            # and eat the remaining trial budget
+            try:
+                trial = study.ask()
+            except Exception:  # noqa: BLE001
+                if verbose:
+                    print(f"[worker {wid}] study.ask() failed:")
+                    traceback.print_exc()
+                continue
             try:
                 value = objective_for_mesh(trial, mesh)
             except TrialPruned:
-                study.tell(trial, TrialState.PRUNED)
+                _tell_safe(study, trial, TrialState.PRUNED)
                 state = "PRUNED"
             except Exception as e:  # noqa: BLE001
-                study.tell(trial, TrialState.FAILED)
+                _tell_safe(study, trial, TrialState.FAILED)
                 state = f"FAILED ({e!r})"
                 if verbose:
                     traceback.print_exc()
@@ -70,10 +85,10 @@ def run_parallel_trials(study: Study, objective_for_mesh: Callable,
 
                 v = float(value)
                 if math.isnan(v):
-                    study.tell(trial, TrialState.FAILED)
+                    _tell_safe(study, trial, TrialState.FAILED)
                     state = "FAILED (nan)"
                 else:
-                    study.tell(trial, TrialState.COMPLETE, v)
+                    _tell_safe(study, trial, TrialState.COMPLETE, v)
                     state = f"{v:.3f}"
             with lock:
                 counter["done"] += 1

@@ -24,13 +24,12 @@ class MedianPruner:
     - no pruning before ``n_warmup_steps`` steps into a trial
     - checks only every ``interval_steps`` steps
 
-    Documented deviation from Optuna: each peer trial contributes its
-    BEST intermediate value up to the current step (best-so-far), whereas
-    Optuna's MedianPruner medians peers' intermediate values AT the step.
-    For monotone-ish validation-accuracy curves the two agree; best-so-far
-    is slightly more conservative (harder to prune) when peers' curves dip,
-    which suits the reference's accuracy-maximizing sweep.  Kept
-    deliberately — not a bug.
+    Optuna semantics, exactly: the median is over peers' intermediate
+    values AT the step, and the candidate quantity is the current trial's
+    BEST intermediate value so far.  (An earlier version medianed peers\'
+    best-so-far and compared the current at-step value — BOTH
+    substitutions push toward over-pruning when curves dip, the opposite
+    of what its doc note claimed; caught in the round-2 review.)
     """
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
@@ -50,13 +49,11 @@ class MedianPruner:
         if len(completed) < self.n_startup_trials:
             return False
         maximize = study.direction == "maximize"
-        peers = []
-        for t in completed:
-            vals = [v for s, v in t.intermediate_values.items() if s <= step]
-            if vals:
-                peers.append(max(vals) if maximize else min(vals))
+        peers = [t.intermediate_values[step] for t in completed
+                 if step in t.intermediate_values]
         if not peers:
             return False
         median = float(np.median(peers))
-        value = trial.intermediate_values[step]
-        return value < median if maximize else value > median
+        own = [v for s, v in trial.intermediate_values.items() if s <= step]
+        best = max(own) if maximize else min(own)
+        return best < median if maximize else best > median

@@ -39,11 +39,20 @@ def _default_gamma(n: int) -> int:
     return min(int(np.ceil(0.1 * n)), 25)
 
 
-def _split_observations(trials, name: str, direction: str):
-    """(internal_values, objectives) for trials that sampled ``name``."""
+def _split_observations(trials, name: str, direction: str, dist=None):
+    """(internal_values, objectives) for trials that sampled ``name``.
+
+    ``dist``: the CURRENT distribution for this param.  A resumed study
+    can carry trials sampled from a DIFFERENT space (e.g. a --quick smoke
+    run sharing storage with the full sweep); their internal encodings
+    are not comparable — a stale categorical index can be out of range or
+    silently mean another choice — so such trials are skipped."""
     values, objs = [], []
     for t in trials:
         if name not in t.params:
+            continue
+        tdist = t.distributions.get(name)
+        if tdist is None or (dist is not None and tdist != dist):
             continue
         if t.state == "COMPLETE" and t.value is not None:
             obj = t.value
@@ -53,7 +62,7 @@ def _split_observations(trials, name: str, direction: str):
             continue
         if not np.isfinite(obj):
             continue
-        values.append(t.distributions[name].to_internal(t.params[name]))
+        values.append(tdist.to_internal(t.params[name]))
         objs.append(obj if direction == "maximize" else -obj)
     return np.asarray(values, float), np.asarray(objs, float)
 
@@ -118,7 +127,8 @@ class TPESampler:
 
     def sample(self, study, trial, name: str, dist) -> Any:
         trials = study.get_trials()
-        values, objs = _split_observations(trials, name, study.direction)
+        values, objs = _split_observations(trials, name, study.direction,
+                                           dist)
         n = len(values)
         if n < self.n_startup_trials:
             return self._fallback.sample(study, trial, name, dist)

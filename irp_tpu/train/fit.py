@@ -103,6 +103,15 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             variables, load_torch_checkpoint(model_cfg.pretrained_path))
     variables = shard_variables(mesh, variables)
 
+    cache_px = train_cached.images.shape[1] if len(train_cached) else 0
+    if cache_px and model_cfg.image_size > cache_px:
+        # center_crop with a crop larger than the source silently yields
+        # a wrong-shaped slice via negative indexing; fail clearly instead
+        raise ValueError(
+            f"model_cfg.image_size={model_cfg.image_size} exceeds the "
+            f"decode-cache resolution ({cache_px}px); rebuild the cache "
+            f"with size>={model_cfg.image_size} or lower image_size")
+
     steps_per_epoch = compute_steps_per_epoch(train_cfg, len(train_cached))
     state = create_train_state(model, variables, train_cfg, model_cfg,
                                steps_per_epoch)

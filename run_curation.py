@@ -17,6 +17,44 @@ import os
 import sys
 
 
+def load_image_dir_cache(info):
+    """Decode a {class: [paths]} directory inventory into a CachedDataset.
+
+    Preallocates the uint8 array (1x dataset RAM, not list+np.stack's 2x)
+    and decodes class-batches through the native thread pool when built
+    (PIL per-sample fallback)."""
+    import numpy as np
+
+    from irp_tpu.data.jpeg import (decode_batch_native,
+                                   native_decoder_available)
+    from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
+
+    class_names = sorted(info)
+    n_files = sum(len(v) for v in info.values())
+    images = np.empty((n_files, 256, 256, 3), np.uint8)
+    labels = np.empty(n_files, np.int32)
+    paths = []
+    use_native = native_decoder_available()
+    w = 0
+    for ci, cls in enumerate(class_names):
+        blobs = []
+        for path in info[cls]:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+        decoded, ok = (decode_batch_native(blobs, 256)
+                       if use_native and blobs else (None, None))
+        for j, path in enumerate(info[cls]):
+            if decoded is not None and ok[j]:
+                images[w] = decoded[j]
+            else:
+                images[w] = decode_to_rgb256(blobs[j])
+            labels[w] = ci
+            paths.append(path)
+            w += 1
+    return CachedDataset(images=images, labels=labels, keys=paths,
+                         class_names=tuple(class_names))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kaggle-path", default=None,
@@ -82,17 +120,8 @@ def main(argv=None):
         from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
 
         info = get_dataset_info(final_src)
-        class_names = sorted(info)
-        images, labels, paths = [], [], []
-        for ci, cls in enumerate(class_names):
-            for path in info[cls]:
-                with open(path, "rb") as f:
-                    images.append(decode_to_rgb256(f.read()))
-                labels.append(ci)
-                paths.append(path)
-        cached = CachedDataset(
-            images=np.stack(images), labels=np.asarray(labels, np.int32),
-            keys=paths, class_names=tuple(class_names))
+        cached = load_image_dir_cache(info)
+        class_names = list(cached.class_names)
         from irp_tpu.data.outliers import extract_features
 
         mcfg = ModelConfig(pretrained_path=args.pretrained)

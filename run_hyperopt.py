@@ -24,7 +24,9 @@ def main(argv=None):
     p.add_argument("--data-dir", default="./data/webdataset")
     p.add_argument("--n-trials", type=int, default=200)
     p.add_argument("--k-folds", type=int, default=3)
-    p.add_argument("--first-fold-min-acc", type=float, default=95.0)
+    p.add_argument("--first-fold-min-acc", type=float, default=None,
+                   help="tier-2 pruning floor (default 95.0; --quick "
+                        "drops it to 0 so smoke trials can complete)")
     p.add_argument("--storage", default="optuna_animals10_kfold.db")
     p.add_argument("--study-name", default="animals10_kfold")
     p.add_argument("--experiment", default="animals10")
@@ -69,6 +71,10 @@ def main(argv=None):
                          cache_dir=args.cache_dir)
     print(f"Decoded cache ready: {len(cached)} samples")
 
+    if args.first_fold_min_acc is None:
+        # 2-epoch --quick trials essentially never clear the reference's
+        # 95% floor; keeping it would tier-2-prune every smoke trial
+        args.first_fold_min_acc = 0.0 if args.quick else 95.0
     hcfg = HyperoptConfig(
         n_trials=args.n_trials, k_folds=args.k_folds,
         first_fold_min_acc=args.first_fold_min_acc,
@@ -80,20 +86,8 @@ def main(argv=None):
 
     space_fn = None
     if args.quick:
-        def space_fn(trial):
-            return {
-                "learning_rate": trial.suggest_float(
-                    "learning_rate", 1e-4, 5e-3, log=True),
-                "batch_size": trial.suggest_categorical("batch_size", [16]),
-                "weight_decay": trial.suggest_float(
-                    "weight_decay", 1e-6, 1e-4, log=True),
-                "dropout_rate": trial.suggest_float("dropout_rate", 0.0,
-                                                    0.3),
-                "augmentation_intensity": trial.suggest_categorical(
-                    "augmentation_intensity", ["low"]),
-                "patience": trial.suggest_int("patience", 3, 3),
-                "max_epochs": trial.suggest_int("max_epochs", 2, 2),
-            }
+        from irp_tpu.hyperopt.objective import quick_space
+        space_fn = quick_space
 
     ctx = HyperoptContext(cached=cached, info=info, hcfg=hcfg,
                           model_base=model_base, space_fn=space_fn)

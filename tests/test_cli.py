@@ -106,8 +106,10 @@ def test_run_hyperopt_then_final_cli(tmp_path):
     common = ["--data-dir", str(data), "--storage", storage,
               "--cache-dir", cache, "--depth", "18",
               "--image-size", "64", "--cpu"]
+    # no explicit --first-fold-min-acc: --quick must default the tier-2
+    # floor to 0 (the reference's 95% floor would prune every 2-epoch
+    # smoke trial and the sweep would end with no completed trial)
     rc = run_hyperopt.main(common + ["--n-trials", "2", "--k-folds", "2",
-                                     "--first-fold-min-acc", "0",
                                      "--quick"])
     assert rc == 0
     assert os.path.exists(storage)
@@ -115,3 +117,22 @@ def test_run_hyperopt_then_final_cli(tmp_path):
     rc = run_final.main(common + ["--checkpoint-dir",
                                   str(tmp_path / "ckpt")])
     assert rc == 0
+
+
+def test_load_image_dir_cache(fake_kaggle, tmp_path):
+    """The outlier stage's directory decoder: preallocated uint8 cache,
+    native batch path with PIL fallback, class-sorted labels."""
+    import numpy as np
+
+    import run_curation
+    from irp_tpu.data.curation import get_dataset_info, prepare_animal_dataset
+
+    prepare_animal_dataset(fake_kaggle, str(tmp_path / "raw"), verbose=False)
+    info = get_dataset_info(str(tmp_path / "raw"))
+    cached = run_curation.load_image_dir_cache(info)
+    assert cached.images.shape == (24, 256, 256, 3)
+    assert cached.images.dtype == np.uint8
+    assert list(cached.class_names) == sorted(info)
+    counts = np.bincount(cached.labels)
+    assert list(counts) == [12, 12]
+    assert cached.images.std() > 0  # actually decoded, not zeros
