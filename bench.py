@@ -116,6 +116,7 @@ def main():
         lg = eval_epoch(state, hbm_eval.images, eoffs)
         float(np.asarray(lg)[-1].reshape(-1)[-1])
         eval_dt = min(eval_dt, time.perf_counter() - t0)
+    eval_steps = eoffs.shape[0]
     # count REAL eval images, not the wrap-padded slots
     eval_imgs_per_sec = hbm_eval.n / eval_dt
 
