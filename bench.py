@@ -24,6 +24,9 @@ BASELINE_IMGS_PER_SEC = 5000.0
 
 
 def main():
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

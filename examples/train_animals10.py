@@ -88,6 +88,10 @@ def main(argv=None):
                         ">> k shards)")
     args = p.parse_args(argv)
 
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.cpu:
         import jax
 

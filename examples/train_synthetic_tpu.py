@@ -43,6 +43,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from synth import make_synthetic_shards
 
     from irp_tpu.config import ModelConfig, TrainConfig

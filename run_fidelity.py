@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.cpu:
         import jax
 

@@ -50,6 +50,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from irp_tpu import tracking
     from irp_tpu.config import HyperoptConfig, ModelConfig
     from irp_tpu.data.analyze import analyze_webdataset

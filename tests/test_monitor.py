@@ -32,3 +32,22 @@ def test_profile_trace_disabled_noop(tmp_path):
     with profile_trace(str(tmp_path), enabled=False):
         pass
     assert not os.listdir(tmp_path)
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    target = str(tmp_path / "jaxcache")
+    assert enable_persistent_cache(target) == target
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == target
+    # env opt-out
+    monkeypatch.setenv("IRP_JAX_CACHE_DIR", "")
+    assert enable_persistent_cache() is None
+    # env override
+    other = str(tmp_path / "other")
+    monkeypatch.setenv("IRP_JAX_CACHE_DIR", other)
+    assert enable_persistent_cache() == other
+    # restore the suite's cache dir (conftest set it)
+    enable_persistent_cache("/tmp/irp_tpu_jax_cache", min_compile_secs=1.0)
