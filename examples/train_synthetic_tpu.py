@@ -34,9 +34,16 @@ def main(argv=None):
                         "stats; convergence demo: train a ResNet from "
                         "scratch over many epochs to >95%% val)")
     p.add_argument("--val-per-class", type=int, default=24)
-    p.add_argument("--patience", type=int, default=6)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience (default 6; 15 for --hard: "
+                        "OneCycle's lr peak lands ~30%% into the run and "
+                        "a short patience anchored to a lucky warmup "
+                        "epoch stops before the annealing phase where "
+                        "from-scratch convergence actually happens)")
     p.add_argument("--lr", type=float, default=3e-3)
     args = p.parse_args(argv)
+    if args.patience is None:
+        args.patience = 15 if args.hard else 6
 
     if args.cpu:
         import jax
