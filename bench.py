@@ -15,7 +15,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -29,12 +28,11 @@ def main():
     enable_persistent_cache()
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
     from irp_tpu.data.pipeline import CachedDataset, EpochSampler, HBMDataset
     from irp_tpu.models import init_classifier
-    from irp_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_variables
+    from irp_tpu.parallel.mesh import make_mesh, shard_variables
     from irp_tpu.train.state import create_train_state
     from irp_tpu.train.step import make_hbm_epoch_step
 

@@ -45,7 +45,6 @@ def pallas_eval_preprocess(images_u8, out_size: int = 224,
     images_u8: (B, S, S, 3) uint8 -> (B, out, out, 3) ``dtype``.
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, s, _, c = images_u8.shape
     assert c == 3, "RGB expected"

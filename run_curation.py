@@ -109,15 +109,12 @@ def main(argv=None):
     if args.outliers:
         print("== Outlier detection (TPU) ==")
         from irp_tpu.config import ModelConfig
-        from irp_tpu.data.analyze import analyze_webdataset
         from irp_tpu.data.curation import get_dataset_info
         from irp_tpu.data.outliers import (create_clean_dataset,
                                            create_embeddings,
                                            create_results_dataframe,
                                            detect_outliers, plot_outliers,
                                            plot_umap, print_summary)
-        import numpy as np
-        from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
 
         info = get_dataset_info(final_src)
         cached = load_image_dir_cache(info)
