@@ -24,9 +24,23 @@ jax.config.update("jax_platforms", "cpu")
 # suite time on the 1-core host; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/irp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# CLI mains call enable_persistent_cache(); pin its target to the suite's
+# cache dir so in-process CLI tests don't repoint the cache elsewhere.
+os.environ.setdefault("IRP_JAX_CACHE_DIR", "/tmp/irp_tpu_jax_cache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _pin_compile_cache_config():
+    """Any test (CLI mains, the compile_cache unit test) may retarget the
+    jax compilation cache; restore the suite-wide setting afterwards so
+    one test — even a FAILING one — can't degrade caching for the rest
+    of the session."""
+    yield
+    jax.config.update("jax_compilation_cache_dir", "/tmp/irp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

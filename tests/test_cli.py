@@ -62,6 +62,7 @@ def test_display_dataset_report(fake_kaggle, tmp_path, capsys):
 
 
 def test_run_fidelity_cli(tmp_path):
+    pytest.importorskip("torch")
     import run_fidelity
     from tests.synth import make_synthetic_shards
 
@@ -77,11 +78,21 @@ def test_run_fidelity_cli(tmp_path):
 def test_run_final_cli_error_paths(tmp_path, capsys):
     import run_final
 
-    # no study storage
+    # empty data dir: shards checked first
     rc = run_final.main(["--data-dir", str(tmp_path), "--storage",
                          str(tmp_path / "none.db"), "--cpu"])
     assert rc == 2
     assert "No train shards" in capsys.readouterr().err
+
+    # shards present but storage missing: the storage branch must fire
+    from tests.synth import make_synthetic_shards
+
+    make_synthetic_shards(str(tmp_path), num_classes=2, per_class=4,
+                          samples_per_shard=8, seed=0, size=64)
+    rc = run_final.main(["--data-dir", str(tmp_path), "--storage",
+                         str(tmp_path / "none.db"), "--cpu"])
+    assert rc == 2
+    assert "No study storage" in capsys.readouterr().err
 
 
 @pytest.mark.slow

@@ -120,12 +120,12 @@ def test_epoch_sampler_reaches_tail_window():
 
     s = EpochSampler(_FakeHBM(), batch_size=8, seed=0)
     offs = np.concatenate([s.epoch_offsets(4) for _ in range(16)])
+    # every offset keeps the window [o, o+8) in bounds
     assert offs.min() >= 0 and offs.max() <= 12 - 8
-    # with phase range [0, 4] the tail sample 11 is covered iff some
-    # offset > 0 appears
-    assert offs.max() > 0
-    # and every offset keeps the window in bounds
-    assert all(0 <= o <= 4 for o in offs)
+    # the tail sample 11 is reachable ONLY from offset exactly 4 — a
+    # phase range one short (the original bug was zero) never emits it;
+    # 64 draws over [0, 4] make max==4 certain for seed 0
+    assert offs.max() == 4
 
 
 def test_verify_webdataset_empty_match_fails(tmp_path):

@@ -9,12 +9,19 @@ locking in format parity without needing the real dataset.
 
 import os
 
+import pytest
+
 from irp_tpu.data.curation import (CleaningStats, analyze_dataset,
                                    render_analysis_report,
                                    write_analysis_report,
                                    write_cleaning_report)
 
-REF = "/root/reference"
+REF = os.environ.get("IRP_REFERENCE_DIR", "/root/reference")
+
+# the byte-parity tests compare against the reference repo's committed
+# artifacts; skip (don't error) on checkouts without the mount
+_needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason=f"reference repo not mounted at {REF}")
 
 
 class _GoldenStats:
@@ -44,6 +51,7 @@ class _GoldenStats:
     channel_distribution = {3: 26128, 4: 50, 1: 1}
 
 
+@_needs_ref
 def test_analysis_report_byte_matches_reference_golden():
     golden = open(os.path.join(REF, "dataset_analysis_report.txt"),
                   encoding="utf-8").read()
@@ -52,6 +60,7 @@ def test_analysis_report_byte_matches_reference_golden():
     assert ours == golden
 
 
+@_needs_ref
 def test_cleaning_report_byte_matches_reference_golden(tmp_path):
     golden = open(os.path.join(REF, "dataset_cleaning_report.txt"),
                   encoding="utf-8").read()

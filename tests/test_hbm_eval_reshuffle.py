@@ -135,7 +135,6 @@ def test_hbm_eval_set_layout(cached):
     out = ev.scatter_logits(fake)
     assert out.shape == (50, 1)
     # recompute expected: value at flat (s, d*bl+i) lands at orig order idx
-    expect = np.empty((ev.steps * 16,), np.float32)
     steps, bl = ev.steps, ev.per_device
     vals = fake.reshape(steps, 8, bl)
     padded = np.empty((8 * steps * bl,), np.float32)

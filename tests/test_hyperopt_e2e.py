@@ -118,7 +118,12 @@ def test_final_trainer_handoff(ctx):
     from irp_tpu.hyperopt.study import create_study
     from irp_tpu.train.final import train_final_model
 
-    study = create_study("tiny", str(root / "study.db"))
+    study = create_study("tiny", str(root / "study.db"),
+                         load_if_exists=True)
+    if not any(t.state == "COMPLETE" for t in study.get_trials()):
+        # self-sufficient when run alone (-k/--last-failed): populate the
+        # study instead of depending on the sweep test's side effects
+        study = run_kfold_optimization(context, n_trials=2, verbose=False)
     result = train_final_model(
         study, context.cached, context.cached, context.info,
         model_base=context.model_base, mesh=context.mesh,

@@ -30,19 +30,8 @@ def test_matches_torch_adam_coupled_wd():
              np.array([[-0.05, 0.4], [0.2, -0.1]], np.float32),
              np.array([[0.02, 0.1], [-0.3, 0.2]], np.float32)]
 
-    # torch
-    tw = torch.nn.Parameter(torch.tensor(w0))
-    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
-    for g in grads:
-        opt.zero_grad()
-        tw.grad = torch.tensor(g)
-        opt.step()
-    torch_out = tw.detach().numpy()
-
-    # ours — constant schedule via steps_per_epoch trickery: use a
-    # OneCycle long enough that... simpler: bypass the schedule by
-    # computing the per-step lr it actually applies and feed torch the
-    # same sequence.  Instead, test with the real schedule on BOTH sides.
+    # the real OneCycle schedule runs on BOTH sides: our optimizer with
+    # its native schedule, torch Adam fed the identical per-step lr
     mcfg = ModelConfig(depth=18, num_classes=2)
     tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
                        max_epochs=1, steps_per_epoch_override=None)
