@@ -123,6 +123,15 @@ class SQLiteStorage:
                 "VALUES (?,?,?)", (study_name, direction, time.time()))
             return cur.lastrowid
 
+    def find_study(self, study_name: str):
+        """study_id for an existing study, or None — pure read, no
+        creation, no orphan mutation (for viewers like run_dashboard)."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT study_id FROM studies WHERE study_name=?",
+                (study_name,)).fetchone()
+        return None if row is None else row[0]
+
     def study_direction(self, study_id: int) -> str:
         with self._lock:
             row = self._conn.execute(

@@ -1,7 +1,13 @@
-"""Pallas TPU kernels for the image hot paths.
+"""Pallas TPU kernels for the image paths — VALIDATED EXPERIMENTS.
 
-Two production kernels (with XLA fallbacks and interpreter-mode support for
-CPU tests):
+Neither kernel is on a default path: both are correct on hardware but
+measured 1.3-1.8x slower than XLA's own fusion of the same computation
+(BENCH.md), so the shipping code uses the XLA implementations
+(ops.preprocess.eval_preprocess_batch; data.outliers.knn) and these stay
+available behind explicit opt-in.  Known scale limit: pallas_pairwise_dist
+blocks only the M axis — the full (d, n) rhs block must fit in VMEM, so
+it serves blocked/tiled sub-problems (as outliers.knn's chunking would
+present), not a monolithic 20k x 2048 feature matrix.
 
 - ``pallas_eval_preprocess``: fused uint8 -> center-crop(224) -> /255 ->
   ImageNet-normalize -> bf16, one VMEM pass per image.  The channel-last

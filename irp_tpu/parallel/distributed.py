@@ -18,18 +18,27 @@ from typing import List, Optional, Sequence
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize passthrough (no-op if single-process or
-    already initialized)."""
+               process_id: Optional[int] = None,
+               auto: bool = False) -> None:
+    """jax.distributed.initialize passthrough.
+
+    With no arguments this is a no-op (single-process environments, the
+    common case here).  ``auto=True`` requests JAX's zero-argument
+    auto-detection (TPU pod metadata / cluster env vars) — the standard
+    call on multi-host slices, which a bare no-arg wrapper call would
+    otherwise silently skip."""
     import jax
 
-    if num_processes is None and coordinator_address is None:
+    if not auto and num_processes is None and coordinator_address is None:
         # single-process (this environment) — nothing to do
         return
     try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        if auto and num_processes is None and coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
     except RuntimeError as e:
         if "already" not in str(e).lower():
             raise

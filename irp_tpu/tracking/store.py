@@ -352,6 +352,17 @@ class TrackingClient:
         return self._metric_history_at(
             os.path.join(self._run_dir(run_id), "metrics", key))
 
+    def get_metric_histories(self, run_id: str) -> Dict[str,
+                                                        List[MetricPoint]]:
+        """All metric histories of a run with ONE run-dir resolution
+        (per-key get_metric_history would rescan every experiment's
+        meta.yaml per metric)."""
+        mdir = os.path.join(self._run_dir(run_id), "metrics")
+        if not os.path.isdir(mdir):
+            return {}
+        return {k: self._metric_history_at(os.path.join(mdir, k))
+                for k in self._iter_keys(mdir)}
+
     def search_runs(self, experiment_name: str,
                     run_name: Optional[str] = None) -> List[Dict]:
         exp_id = self.get_experiment_by_name(experiment_name)

@@ -63,15 +63,23 @@ def plot_image_grid(images: Sequence[np.ndarray], titles: Sequence[str],
 
 
 def plot_history(history: Dict[str, List[float]], path: str) -> str:
-    """train/val loss + accuracy curves (reference hyperopt.py:560-607)."""
+    """train/val loss + accuracy curves (reference hyperopt.py:560-607).
+
+    Series may be missing or of unequal length (a run killed mid-epoch,
+    a no-validation final run): each gets its own epoch axis."""
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.5))
-    epochs = range(1, len(history.get("train_loss", [])) + 1)
-    ax1.plot(epochs, history.get("train_loss", []), label="train")
-    ax1.plot(epochs, history.get("val_loss", []), label="val")
+
+    def _plot(ax, key, label):
+        ys = [y for y in history.get(key, [])]
+        if ys:
+            ax.plot(range(1, len(ys) + 1), ys, label=label)
+
+    _plot(ax1, "train_loss", "train")
+    _plot(ax1, "val_loss", "val")
     ax1.set_xlabel("epoch"); ax1.set_ylabel("loss"); ax1.legend()
     ax1.set_title("Loss")
-    ax2.plot(epochs, history.get("train_acc", []), label="train")
-    ax2.plot(epochs, history.get("val_acc", []), label="val")
+    _plot(ax2, "train_acc", "train")
+    _plot(ax2, "val_acc", "val")
     ax2.set_xlabel("epoch"); ax2.set_ylabel("accuracy (%)"); ax2.legend()
     ax2.set_title("Accuracy")
     fig.tight_layout()

@@ -48,14 +48,22 @@ def show_study(args) -> int:
     from irp_tpu.hyperopt import create_study
     from irp_tpu.hyperopt.analysis import (_param_importances,
                                            study_statistics)
+    from irp_tpu.hyperopt.storage import SQLiteStorage
     from irp_tpu.hyperopt.study import TrialState
 
     import os
     if not os.path.exists(args.storage):
         print(f"No study storage at {args.storage}", file=sys.stderr)
         return 2
-    study = create_study(study_name=args.study_name, storage=args.storage,
-                         load_if_exists=True)
+    # a VIEWER must not mutate the store: no study creation on a typo'd
+    # name, and no orphan-failing of live workers' RUNNING trials
+    storage = SQLiteStorage(args.storage)
+    if storage.find_study(args.study_name) is None:
+        print(f"No study named {args.study_name!r} in {args.storage}",
+              file=sys.stderr)
+        return 2
+    study = create_study(study_name=args.study_name, storage=storage,
+                         load_if_exists=True, fail_orphans=False)
     stats = study_statistics(study)
     print(f"Study: {args.study_name}  ({args.storage})")
     print(f"  trials: {stats['n_trials']}  complete: "
@@ -78,7 +86,8 @@ def show_study(args) -> int:
         print(f"    min {min(history):.4f}  max {max(history):.4f}")
 
         print(f"\n  top {min(args.top, len(completed))} trials:")
-        ranked = sorted(completed, key=lambda t: t.value, reverse=True)
+        ranked = sorted(completed, key=lambda t: t.value,
+                        reverse=study.direction == "maximize")
         names = sorted({n for t in completed for n in t.params})
         header = "    #     value  " + "  ".join(f"{n[:14]:>14}"
                                                  for n in names)
@@ -106,7 +115,11 @@ def show_runs(args) -> int:
     if client.get_experiment_by_name(args.experiment) is None:
         print(f"No experiment '{args.experiment}'", file=sys.stderr)
         return 2
-    runs = client.search_runs(args.experiment)[:args.limit]
+    runs = client.search_runs(args.experiment)
+    # newest first — run ids are random hex, so directory order is noise
+    runs.sort(key=lambda r: int(r["info"].get("start_time", 0) or 0),
+              reverse=True)
+    runs = runs[:args.limit]
     print(f"Experiment: {args.experiment}  ({len(runs)} shown)")
     for run in runs:
         info = run["info"]
@@ -138,11 +151,12 @@ def show_run(args) -> int:
             print(f"    {k}: {v}")
     if run.get("metrics"):
         print("  metrics (latest, with history):")
+        histories = client.get_metric_histories(args.run_id)
         for k in sorted(run["metrics"]):
-            hist = client.get_metric_history(args.run_id, k)
-            vals = [p.value for p in hist]
-            print(f"    {k:<24} {fmt_value(vals[-1]):>10}  "
-                  f"{sparkline(vals, 30)}")
+            vals = [p.value for p in histories.get(k, [])]
+            if vals:
+                print(f"    {k:<24} {fmt_value(vals[-1]):>10}  "
+                      f"{sparkline(vals, 30)}")
     artifacts = client.list_artifacts(args.run_id)
     if artifacts:
         print("  artifacts:")

@@ -86,3 +86,30 @@ def test_sparkline_shapes():
     s = run_dashboard.sparkline(list(range(100)), width=40)
     assert len(s) == 40
     assert s[0] == run_dashboard.SPARK[0] and s[-1] == run_dashboard.SPARK[-1]
+
+
+def test_dashboard_study_is_read_only(study_db, capsys):
+    """A viewer must not create studies on typo'd names nor fail live
+    workers' RUNNING trials (round-2 review finding)."""
+    import sqlite3
+
+    # typo'd name: error out, and no new study row appears
+    rc = run_dashboard.main(["study", "--storage", study_db,
+                             "--study-name", "dash_tset"])
+    assert rc == 2
+    with sqlite3.connect(study_db) as conn:
+        names = [r[0] for r in conn.execute(
+            "SELECT study_name FROM studies")]
+        assert names == ["dash_test"]
+        # plant an in-flight trial like a live worker's
+        sid = conn.execute("SELECT study_id FROM studies").fetchone()[0]
+        conn.execute(
+            "INSERT INTO trials (study_id, number, state, datetime_start)"
+            " VALUES (?, 99, 'RUNNING', 0)", (sid,))
+    rc = run_dashboard.main(["study", "--storage", study_db,
+                             "--study-name", "dash_test"])
+    assert rc == 0
+    with sqlite3.connect(study_db) as conn:
+        state = conn.execute(
+            "SELECT state FROM trials WHERE number=99").fetchone()[0]
+    assert state == "RUNNING"  # untouched by the viewer
