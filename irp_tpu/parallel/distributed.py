@@ -34,7 +34,10 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     try:
         if auto and num_processes is None and coordinator_address is None:
-            jax.distributed.initialize()
+            if process_id is not None:
+                jax.distributed.initialize(process_id=process_id)
+            else:
+                jax.distributed.initialize()
         else:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

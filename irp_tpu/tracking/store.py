@@ -316,7 +316,10 @@ class TrackingClient:
             for fname in files:
                 yield os.path.relpath(os.path.join(d, fname), base)
 
-    def get_run(self, run_id: str) -> Dict:
+    def get_run(self, run_id: str, include_metrics: bool = True) -> Dict:
+        """Run info/params (+ latest metric values unless
+        ``include_metrics=False`` — callers that read full histories
+        anyway can skip the extra parse of every metric file)."""
         rdir = self._run_dir(run_id)  # resolved ONCE per run (get_metric_
         # history would otherwise rescan every experiment per metric)
         meta = _read_meta(os.path.join(rdir, "meta.yaml"))
@@ -328,7 +331,7 @@ class TrackingClient:
                     params[k] = f.read()
         metrics = {}
         mdir = os.path.join(rdir, "metrics")
-        if os.path.isdir(mdir):
+        if include_metrics and os.path.isdir(mdir):
             for k in self._iter_keys(mdir):
                 hist = self._metric_history_at(os.path.join(mdir, k))
                 if hist:

@@ -13,16 +13,23 @@ after parsing args).  Opt out with ``IRP_JAX_CACHE_DIR=""``.
 from __future__ import annotations
 
 import os
+import sys
 
 
 def enable_persistent_cache(cache_dir: str | None = None,
-                            min_compile_secs: float = 5.0) -> str | None:
+                            min_compile_secs: float | None = None
+                            ) -> str | None:
     """Point JAX at a persistent compilation cache directory.
 
     Resolution order: explicit arg > $IRP_JAX_CACHE_DIR (empty string
-    disables) > ~/.cache/irp_tpu/jax.  Returns the directory used, or
-    None when disabled/unavailable.
+    disables) > ~/.cache/irp_tpu/jax.  The minimum compile time worth
+    caching defaults to 5s, overridable via $IRP_JAX_CACHE_MIN_SECS (the
+    test suite pins 1.0 so its small CPU compiles persist).  Returns the
+    directory used, or None when disabled/unavailable.
     """
+    if min_compile_secs is None:
+        min_compile_secs = float(
+            os.environ.get("IRP_JAX_CACHE_MIN_SECS", "5.0"))
     if cache_dir is None:
         env = os.environ.get("IRP_JAX_CACHE_DIR")
         if env is not None:
@@ -40,6 +47,7 @@ def enable_persistent_cache(cache_dir: str | None = None,
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
     except Exception as e:  # noqa: BLE001 — cache is best-effort
-        print(f"persistent compile cache disabled: {e}")
+        # stderr: bench.py's stdout is a one-JSON-line contract
+        print(f"persistent compile cache disabled: {e}", file=sys.stderr)
         return None
     return cache_dir

@@ -70,17 +70,20 @@ def plot_history(history: Dict[str, List[float]], path: str) -> str:
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.5))
 
     def _plot(ax, key, label):
-        ys = [y for y in history.get(key, [])]
+        ys = history.get(key) or []
         if ys:
             ax.plot(range(1, len(ys) + 1), ys, label=label)
+        return bool(ys)
 
-    _plot(ax1, "train_loss", "train")
-    _plot(ax1, "val_loss", "val")
-    ax1.set_xlabel("epoch"); ax1.set_ylabel("loss"); ax1.legend()
+    any1 = _plot(ax1, "train_loss", "train") | _plot(ax1, "val_loss", "val")
+    ax1.set_xlabel("epoch"); ax1.set_ylabel("loss")
+    if any1:
+        ax1.legend()
     ax1.set_title("Loss")
-    _plot(ax2, "train_acc", "train")
-    _plot(ax2, "val_acc", "val")
-    ax2.set_xlabel("epoch"); ax2.set_ylabel("accuracy (%)"); ax2.legend()
+    any2 = _plot(ax2, "train_acc", "train") | _plot(ax2, "val_acc", "val")
+    ax2.set_xlabel("epoch"); ax2.set_ylabel("accuracy (%)")
+    if any2:
+        ax2.legend()
     ax2.set_title("Accuracy")
     fig.tight_layout()
     fig.savefig(path)

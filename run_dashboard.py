@@ -138,7 +138,9 @@ def show_run(args) -> int:
 
     client = TrackingClient()
     try:
-        run = client.get_run(args.run_id)
+        # histories are read in full below; skip get_run's own parse of
+        # every metric file
+        run = client.get_run(args.run_id, include_metrics=False)
     except Exception:
         print(f"No run '{args.run_id}'", file=sys.stderr)
         return 2
@@ -149,11 +151,11 @@ def show_run(args) -> int:
         print("  params:")
         for k, v in sorted(run["params"].items()):
             print(f"    {k}: {v}")
-    if run.get("metrics"):
+    histories = client.get_metric_histories(args.run_id)
+    if histories:
         print("  metrics (latest, with history):")
-        histories = client.get_metric_histories(args.run_id)
-        for k in sorted(run["metrics"]):
-            vals = [p.value for p in histories.get(k, [])]
+        for k in sorted(histories):
+            vals = [p.value for p in histories[k]]
             if vals:
                 print(f"    {k:<24} {fmt_value(vals[-1]):>10}  "
                       f"{sparkline(vals, 30)}")

@@ -27,6 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # CLI mains call enable_persistent_cache(); pin its target to the suite's
 # cache dir so in-process CLI tests don't repoint the cache elsewhere.
 os.environ.setdefault("IRP_JAX_CACHE_DIR", "/tmp/irp_tpu_jax_cache")
+os.environ.setdefault("IRP_JAX_CACHE_MIN_SECS", "1.0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

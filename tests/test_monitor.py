@@ -49,5 +49,3 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
     other = str(tmp_path / "other")
     monkeypatch.setenv("IRP_JAX_CACHE_DIR", other)
     assert enable_persistent_cache() == other
-    # restore the suite's cache dir (conftest set it)
-    enable_persistent_cache("/tmp/irp_tpu_jax_cache", min_compile_secs=1.0)
