@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Sanitize the inherited environment for EVERY child of this process
+# (spawn-mode workers, subprocess CLI tests, the dryrun re-exec): the axon
+# sitecustomize runs a TPU-tunnel handshake in any fresh interpreter that
+# sees PALLAS_AXON_POOL_IPS — minutes when the tunnel is slow, a hang when
+# it is wedged (the round-2 suite sat blocked in tcp_recvmsg at 43%).  No
+# test uses the real chip; the whole suite runs on the virtual CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 # Force CPU: the axon sitecustomize preloads jax and pins
