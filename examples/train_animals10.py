@@ -22,6 +22,12 @@ Stages:
   6. final full training           (recommended_epochs from the study)
   7. full test eval                (per-class P/R/F1, confusion matrix)
 
+Accuracy-run protocol: frozen-stage BatchNorm semantics are pinned
+explicitly via --bn-stats-mode (default 'all' = reference torch .train()
+parity, kept until >=95% is demonstrated once; 'trainable_only' is the
+~28%-faster inference-form alternative) and logged to tracking by the
+final stage so every accuracy number is attributable to its BN mode.
+
 Usage:
   python examples/train_animals10.py                # quick 20-trial sweep
   python examples/train_animals10.py --full         # reference 200x3 sweep
@@ -86,6 +92,15 @@ def main(argv=None):
     p.add_argument("--samples-per-shard", type=int, default=1000,
                    help="shard size (k-fold splits are shard-level; keep "
                         ">> k shards)")
+    p.add_argument("--bn-stats-mode", choices=("all", "trainable_only"),
+                   default="all",
+                   help="frozen-stage BatchNorm semantics for the sweep "
+                        "and the final/accuracy run.  'all' = reference "
+                        "torch .train() parity (default until >=95% is "
+                        "demonstrated once); 'trainable_only' = "
+                        "inference-form frozen BN, ~28%% faster "
+                        "(BENCH.md) but numerically different training "
+                        "trajectories")
     args = p.parse_args(argv)
 
     from irp_tpu.utils.compile_cache import enable_persistent_cache
@@ -162,9 +177,13 @@ def main(argv=None):
         # (hyperopt.py:236-247) so smoke runs can complete a trial
         first_fold_min_acc=0.0 if args.quick else 95.0,
         storage=os.path.join(args.work_dir, "optuna_animals10_kfold.db"))
+    # Accuracy-run protocol: BN mode is pinned EXPLICITLY (never the
+    # package default) and flows into sweep + final stages; final.py logs
+    # it to tracking so any accuracy number is attributable to its mode.
     model_base = ModelConfig(depth=args.depth,
                              num_classes=info.num_classes,
                              image_size=args.image_size,
+                             bn_stats_mode=args.bn_stats_mode,
                              pretrained_path=weights)
 
     space_fn = None

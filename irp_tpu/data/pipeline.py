@@ -125,15 +125,18 @@ def build_cache(shard_paths: Sequence[str], class_names: Sequence[str],
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         fp = _fingerprint(shard_paths)
-        # the decoder is part of the cache identity: native and PIL caches
-        # differ by ±1/255 and must not be silently interchanged
+        # The decoder is part of the cache identity: native and PIL caches
+        # differ by ±1/255 and must not be silently interchanged.  The v2
+        # prefix retires pre-tag caches entirely (an old cache built WITH
+        # the native decoder lived under the untagged name, so a PIL run
+        # could silently load it); every decoder now has an explicit tag.
         if custom_decoder:
             dec_tag = "_custom"
         elif batch_decoder is not None:
             dec_tag = "_native"
         else:
-            dec_tag = ""
-        base = os.path.join(cache_dir, f"cache_{fp}_{size}{dec_tag}")
+            dec_tag = "_pil"
+        base = os.path.join(cache_dir, f"cache_v2_{fp}_{size}{dec_tag}")
         meta_path, img_path, lab_path = (base + ".json", base + ".img.npy",
                                          base + ".lab.npy")
         if all(os.path.exists(p) for p in (meta_path, img_path, lab_path)):

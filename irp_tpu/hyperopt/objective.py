@@ -25,6 +25,7 @@ static shapes (one compile each, cached across trials).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -138,17 +139,13 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
             train_cached = ctx.cached.subset_by_shards(train_shards)
             val_cached = ctx.cached.subset_by_shards(val_shards)
 
-            model_cfg = ModelConfig(
-                depth=ctx.model_base.depth,
+            # dataclasses.replace keeps every model_base field (incl. any
+            # added later, e.g. fused_frozen_blocks) instead of a lossy
+            # field-by-field reconstruction.
+            model_cfg = dataclasses.replace(
+                ctx.model_base,
                 num_classes=ctx.info.num_classes,
-                image_size=ctx.model_base.image_size,
-                hidden_dim=ctx.model_base.hidden_dim,
-                dropout_rate=hp["dropout_rate"],
-                trainable_stages=ctx.model_base.trainable_stages,
-                bn_stats_mode=ctx.model_base.bn_stats_mode,
-                compute_dtype=ctx.model_base.compute_dtype,
-                precision=ctx.model_base.precision,
-                pretrained_path=ctx.model_base.pretrained_path)
+                dropout_rate=hp["dropout_rate"])
             train_cfg = TrainConfig(
                 learning_rate=hp["learning_rate"],
                 weight_decay=hp["weight_decay"],

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 import uuid
 from dataclasses import dataclass
@@ -83,34 +84,45 @@ def set_experiment(name: str) -> str:
     """Create-or-get an experiment; makes it active.  Returns exp id."""
     root = _root()
     for entry in sorted(os.listdir(root)):
+        if not entry.isdigit():
+            continue  # skip .exp_stage_* staging dirs mid-claim
         meta = _read_meta(os.path.join(root, entry, "meta.yaml"))
         if meta.get("name") == name:
             _state["experiment_id"] = entry
             return entry
-    # exclusive-mkdir id allocation: two processes racing on an empty
-    # store must not both claim the same id and clobber each other's
-    # meta.yaml (cross-process sweep workers are a supported setup)
+    # Atomic id allocation: two processes racing on an empty store must
+    # not both claim the same id or observe a claimed id without its
+    # meta.yaml (cross-process sweep workers are a supported setup).  The
+    # meta.yaml is staged in a private temp dir and the CLAIM is a single
+    # os.rename — so whenever an experiment dir exists, its meta.yaml
+    # (and therefore its name) is already readable by losers.
     existing = [int(e) for e in os.listdir(root) if e.isdigit()]
     next_id = max(existing) + 1 if existing else 0
-    while True:
-        exp_id = str(next_id)
-        exp_dir = os.path.join(root, exp_id)
-        try:
-            os.makedirs(exp_dir, exist_ok=False)
-            break
-        except FileExistsError:
-            # a concurrent creator won this id — maybe with OUR name
-            meta = _read_meta(os.path.join(exp_dir, "meta.yaml"))
-            if meta.get("name") == name:
-                _state["experiment_id"] = exp_id
-                return exp_id
-            next_id += 1
-    _write_meta(os.path.join(exp_dir, "meta.yaml"), {
-        "artifact_location": exp_dir,
-        "experiment_id": exp_id,
-        "lifecycle_stage": "active",
-        "name": name,
-    })
+    stage = tempfile.mkdtemp(prefix=".exp_stage_", dir=root)
+    try:
+        while True:
+            exp_id = str(next_id)
+            exp_dir = os.path.join(root, exp_id)
+            _write_meta(os.path.join(stage, "meta.yaml"), {
+                "artifact_location": exp_dir,
+                "experiment_id": exp_id,
+                "lifecycle_stage": "active",
+                "name": name,
+            })
+            try:
+                os.rename(stage, exp_dir)
+                stage = None  # claimed: nothing left to clean up
+                break
+            except OSError:
+                # a concurrent creator won this id — maybe with OUR name
+                meta = _read_meta(os.path.join(exp_dir, "meta.yaml"))
+                if meta.get("name") == name:
+                    _state["experiment_id"] = exp_id
+                    return exp_id
+                next_id += 1
+    finally:
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
     _state["experiment_id"] = exp_id
     return exp_id
 
@@ -290,6 +302,8 @@ class TrackingClient:
         if not os.path.isdir(self.uri):
             return out
         for entry in sorted(os.listdir(self.uri)):
+            if not entry.isdigit():
+                continue  # skip .exp_stage_* staging dirs mid-claim
             meta = _read_meta(os.path.join(self.uri, entry, "meta.yaml"))
             if "name" in meta:
                 out[entry] = meta["name"]

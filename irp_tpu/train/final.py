@@ -17,6 +17,7 @@ visualizers (reference functions/final.py:158-412, :27-152, :415-537):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import tempfile
 from dataclasses import dataclass
@@ -136,15 +137,12 @@ def train_final_model(study, train_cached: CachedDataset,
     if verbose:
         print(f"Training for {final_epochs} epochs")
 
-    model_cfg = ModelConfig(
-        depth=model_base.depth, num_classes=info.num_classes,
-        image_size=model_base.image_size, hidden_dim=model_base.hidden_dim,
-        dropout_rate=bp.get("dropout_rate", model_base.dropout_rate),
-        trainable_stages=model_base.trainable_stages,
-        bn_stats_mode=model_base.bn_stats_mode,
-        compute_dtype=model_base.compute_dtype,
-        precision=model_base.precision,
-        pretrained_path=model_base.pretrained_path)
+    # dataclasses.replace keeps every model_base field (incl. any added
+    # later, e.g. fused_frozen_blocks) instead of a lossy field-by-field
+    # reconstruction.
+    model_cfg = dataclasses.replace(
+        model_base, num_classes=info.num_classes,
+        dropout_rate=bp.get("dropout_rate", model_base.dropout_rate))
     train_cfg = TrainConfig(
         learning_rate=bp["learning_rate"],
         weight_decay=bp["weight_decay"],
@@ -159,8 +157,12 @@ def train_final_model(study, train_cached: CachedDataset,
 
     tracking.set_experiment(experiment)
     with tracking.start_run(run_name="final_model_full_training") as run:
+        # bn_stats_mode changes frozen-stage BN numerics ('all' = torch
+        # .train() parity, 'trainable_only' = faster inference-form BN);
+        # log it so any accuracy number is attributable to its mode.
         run.log_params({**bp, "final_epochs": final_epochs,
-                        "mode": mode})
+                        "mode": mode,
+                        "bn_stats_mode": model_cfg.bn_stats_mode})
 
         on_epoch_end = None
         restore_from, start_epoch = None, 0

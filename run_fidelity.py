@@ -66,9 +66,12 @@ def main(argv=None):
     n = min(args.samples, len(cached))
     images = np.asarray(cached.images[:n])
 
+    # torch-parity entry point: pin BN to reference .train()/.eval()
+    # semantics explicitly rather than inheriting the perf-oriented
+    # 'trainable_only' default.
     cfg = ModelConfig(depth=args.depth, num_classes=args.num_classes,
                       dropout_rate=0.0, compute_dtype="float32",
-                      precision="highest")
+                      precision="highest", bn_stats_mode="all")
     model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 224)
     if args.checkpoint:
         variables = merge_pretrained(

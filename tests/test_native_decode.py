@@ -83,6 +83,11 @@ def test_cache_fingerprint_separates_decoders(tmp_path):
     names = [os.path.basename(m) for m in metas]
     assert len(metas) == 2, names
     assert any("_native" in n for n in names), names
+    # every decoder is explicitly tagged under the v2 scheme — a stale
+    # pre-tag cache (possibly native-built under the untagged name) can
+    # never be loaded by a PIL run
+    assert any("_pil" in n for n in names), names
+    assert all(n.startswith("cache_v2_") for n in names), names
 
 
 def test_build_cache_warns_on_skipped_samples(tmp_path, capsys):

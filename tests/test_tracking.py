@@ -151,3 +151,56 @@ def test_set_experiment_id_collision_retries(tmp_path):
     client = tracking.TrackingClient()
     assert client.get_experiment_by_name("other") == "0"
     assert client.get_experiment_by_name("mine") == "1"
+
+
+def test_set_experiment_claim_is_atomic_with_meta(tmp_path):
+    """The claim (dir appears) and its meta.yaml must be atomic: a loser
+    that sees the dir must be able to read the winner's name immediately
+    (the old mkdir-then-write had a window where the loser read {} and
+    created a duplicate-named experiment)."""
+    import threading
+
+    root = str(tmp_path / "mlruns")
+    tracking.set_tracking_uri(root)
+    n_threads, ids = 8, []
+    lock = threading.Lock()
+    barrier = threading.Barrier(n_threads)
+
+    def claim():
+        barrier.wait()
+        exp_id = tracking.set_experiment("shared")
+        with lock:
+            ids.append(exp_id)
+
+    threads = [threading.Thread(target=claim) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every racer resolved to the SAME experiment id
+    assert len(set(ids)) == 1, f"duplicate-named experiments: {set(ids)}"
+    # every dir on disk has a readable meta.yaml, and no stage dirs leaked
+    entries = os.listdir(root)
+    assert all(e.isdigit() for e in entries), entries
+    from irp_tpu.tracking.store import _read_meta
+    names = [_read_meta(os.path.join(root, e, "meta.yaml")).get("name")
+             for e in entries]
+    assert names.count("shared") == 1
+
+
+def test_stage_dirs_invisible_to_scans(tmp_path):
+    """A crashed creator's leftover staging dir must not surface as an
+    experiment in name scans."""
+    root = str(tmp_path / "mlruns")
+    tracking.set_tracking_uri(root)
+    tracking.set_experiment("real")
+    from irp_tpu.tracking.store import _write_meta
+    stale = os.path.join(root, ".exp_stage_dead")
+    os.makedirs(stale)
+    _write_meta(os.path.join(stale, "meta.yaml"),
+                {"name": "ghost", "experiment_id": "99"})
+    client = tracking.TrackingClient()
+    assert client.get_experiment_by_name("ghost") is None
+    assert client.get_experiment_by_name("real") is not None
+    # set_experiment on the ghost name allocates a fresh digit id
+    assert tracking.set_experiment("ghost").isdigit()
