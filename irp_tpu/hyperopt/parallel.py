@@ -12,6 +12,16 @@ study resume.
 
 Threads, not processes: each worker owns a distinct device, so the GIL
 only serializes cheap host-side dispatch while device compute overlaps.
+
+Single-controller caveat (unmeasured — no multi-chip host available):
+all workers share ONE process's XLA compile client and the GIL, so
+per-trial COMPILES (distinct batch_size / aug intensity shapes) plausibly
+serialize even though execution overlaps.  Mitigations already in place:
+the persistent compile cache makes repeated configurations disk hits, and
+the dropout/lr/wd runtime-injection keeps most trials on one executable.
+If compile serialization shows up on real 8-chip hardware, move workers
+to processes (the SQLite storage already coordinates cross-process —
+tests/test_multiprocess_sweep.py proves that path).
 """
 
 from __future__ import annotations
