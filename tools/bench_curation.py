@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Curation-stage benchmarks (VERDICT r2 next-round #4).
+
+Quantifies the TPU rebuild of the reference's curation hot spots:
+
+1. feature extraction imgs/sec/chip — batched jitted ResNet50 features
+   (irp_tpu/data/outliers.py:extract_features) vs the reference's
+   one-image-at-a-time loop (reference functions/data_curation.py:674-679);
+2. UMAP pipeline wall-clock at Animals-10 scale (default 26,000 x 2048
+   features): PCA(50) -> TPU kNN -> fuzzy graph -> spectral init ->
+   jitted SGD layout; plus per-class+global LOF;
+3. native-C++ vs PIL decode-cache build throughput
+   (irp_tpu/data/pipeline.py:build_cache, native/decode.cpp thread pool).
+
+Prints a JSON line per measurement and a markdown table at the end
+(paste target: BENCH.md curation section).  Run on the real chip for
+headline numbers; --cpu gives a small-scale correctness pass.
+
+Usage:
+  python tools/bench_curation.py                 # full scale, real chip
+  python tools/bench_curation.py --cpu --tiny    # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+RESULTS = []
+
+
+def emit(name, **kv):
+    row = {"bench": name, **kv}
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def bench_feature_extraction(n_imgs, batch_size, depth, image_size, reps):
+    import numpy as np
+
+    from irp_tpu.config import ModelConfig
+    from irp_tpu.data.pipeline import CachedDataset
+    from irp_tpu.data.outliers import extract_features
+
+    rng = np.random.default_rng(0)
+    px = max(image_size, 224) if image_size >= 224 else image_size
+    cached = CachedDataset(
+        images=rng.integers(0, 255, (n_imgs, px, px, 3), dtype=np.uint8),
+        labels=rng.integers(0, 10, n_imgs).astype(np.int32),
+        keys=[str(i) for i in range(n_imgs)],
+        class_names=tuple(str(i) for i in range(10)))
+    cfg = ModelConfig(depth=depth, num_classes=10, image_size=image_size,
+                      compute_dtype="bfloat16")
+    # warmup (compile + first execution)
+    extract_features(cached, cfg, batch_size=batch_size)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        feats, _, _ = extract_features(cached, cfg, batch_size=batch_size)
+        best = min(best, time.perf_counter() - t0)
+    emit("feature_extraction", imgs_per_sec=round(n_imgs / best, 1),
+         n_imgs=n_imgs, batch_size=batch_size, depth=depth,
+         image_size=image_size, secs=round(best, 2),
+         feat_dim=int(feats.shape[1]))
+    return feats
+
+
+def bench_umap_lof(n, dim, reps):
+    import numpy as np
+
+    from irp_tpu.data.outliers import (fuzzy_simplicial_set, knn,
+                                       local_outlier_factor, optimize_layout,
+                                       pca, spectral_init,
+                                       categorical_intersection)
+
+    rng = np.random.default_rng(1)
+    # blobby features (UMAP on pure noise converges pathologically slowly)
+    centers = rng.normal(0, 4.0, (10, dim)).astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    feats = centers[labels] + rng.normal(0, 1.0, (n, dim)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    proj, _, _ = pca(feats, 50)
+    proj = np.asarray(proj)
+    t_pca = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    idx, dist = knn(proj, k=15)
+    t_knn = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rows, cols, vals = fuzzy_simplicial_set(np.asarray(idx), np.asarray(dist))
+    vals = categorical_intersection(rows, cols, vals, labels)
+    t_graph = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    emb = spectral_init(rows, cols, vals, n)
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    emb = optimize_layout(np.asarray(emb, np.float32), rows, cols, vals,
+                          n_epochs=200)
+    t_layout = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lof = local_outlier_factor(np.asarray(emb, np.float32), n_neighbors=75)
+    t_lof = time.perf_counter() - t0
+
+    emit("umap_lof", n=n, dim=dim, pca_s=round(t_pca, 2),
+         knn_s=round(t_knn, 2), graph_s=round(t_graph, 2),
+         spectral_s=round(t_init, 2), layout_s=round(t_layout, 2),
+         lof_s=round(t_lof, 2),
+         total_s=round(t_pca + t_knn + t_graph + t_init + t_layout + t_lof,
+                       2),
+         lof_flagged=int((np.asarray(lof) > 1.5).sum()))
+
+
+def bench_cache_build(n_imgs, size, tmp_root):
+    import shutil
+
+    from synth import make_synthetic_shards
+
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.jpeg import native_decoder_available
+    from irp_tpu.data.pipeline import build_cache
+
+    shard_dir = os.path.join(tmp_root, "bench_shards")
+    if not os.path.isdir(shard_dir):
+        per_class = max(n_imgs // 10, 1)
+        make_synthetic_shards(shard_dir, num_classes=10, per_class=per_class,
+                              samples_per_shard=1000, seed=7, size=size)
+    import glob as _glob
+    shards = sorted(_glob.glob(os.path.join(shard_dir, "train-*.tar")))
+    info = analyze_webdataset(shards)
+    n = info.total_samples
+
+    out = {}
+    for label, use_native in (("pil", False), ("native", True)):
+        if use_native and not native_decoder_available():
+            emit("cache_build", decoder="native", skipped="no libirpdecode")
+            continue
+        cache_dir = os.path.join(tmp_root, f"bench_cache_{label}")
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_cache(shards, info.class_names, cache_dir=cache_dir,
+                    size=size, use_native=use_native)
+        dt = time.perf_counter() - t0
+        out[label] = dt
+        emit("cache_build", decoder=label, imgs_per_sec=round(n / dt, 1),
+             n_imgs=n, size=size, secs=round(dt, 1))
+    if "pil" in out and "native" in out:
+        emit("cache_build_speedup",
+             native_vs_pil=round(out["pil"] / out["native"], 2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--n-imgs", type=int, default=4096,
+                   help="feature-extraction corpus (HBM-bounded; rate is "
+                        "steady-state so 4k suffices)")
+    p.add_argument("--umap-n", type=int, default=26000)
+    p.add_argument("--umap-dim", type=int, default=2048)
+    p.add_argument("--cache-imgs", type=int, default=4000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--tmp", default="/tmp/irp_curation_bench")
+    p.add_argument("--skip", default="",
+                   help="comma list: features,umap,cache")
+    args = p.parse_args(argv)
+    if args.tiny:
+        args.n_imgs, args.umap_n, args.umap_dim = 128, 1500, 256
+        args.cache_imgs, args.batch_size = 300, 32
+        args.depth, args.image_size, args.reps = 18, 64, 1
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    os.makedirs(args.tmp, exist_ok=True)
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    if "features" not in skip:
+        bench_feature_extraction(args.n_imgs, args.batch_size, args.depth,
+                                 args.image_size, args.reps)
+    if "umap" not in skip:
+        bench_umap_lof(args.umap_n, args.umap_dim, args.reps)
+    if "cache" not in skip:
+        bench_cache_build(args.cache_imgs, 256 if not args.tiny else 96,
+                          args.tmp)
+
+    print("\n| measurement | value |")
+    print("|---|---|")
+    for r in RESULTS:
+        name = r.pop("bench")
+        print(f"| {name} | " + ", ".join(f"{k}={v}" for k, v in r.items())
+              + " |")
+    with open(os.path.join(args.tmp, "curation_bench.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
