@@ -58,7 +58,8 @@ def _fingerprint(shard_paths: Sequence[str]) -> str:
 class CachedDataset:
     """Decoded uint8 dataset (memmap-backed) + labels + metadata."""
 
-    images: np.ndarray  # (N, 256, 256, 3) uint8
+    images: Optional[np.ndarray]  # (N, 256, 256, 3) uint8; None only for
+    # subset_by_shards(with_images=False) metadata-only views
     labels: np.ndarray  # (N,) int32
     keys: List[str]
     class_names: Tuple[str, ...]
@@ -70,9 +71,15 @@ class CachedDataset:
     def __len__(self):
         return len(self.labels)
 
-    def subset_by_shards(self, shard_subset: Sequence[str]) -> "CachedDataset":
+    def subset_by_shards(self, shard_subset: Sequence[str],
+                         with_images: bool = True) -> "CachedDataset":
         """View of the samples originating from the given shards (one
-        decode cache serves every fold split)."""
+        decode cache serves every fold split).
+
+        ``with_images=False`` skips materializing the image copy (labels /
+        keys / counts only) — for callers that source pixels from an
+        already-device-resident HBMFoldPool view instead.
+        """
         if self.shard_ids is None or self.shard_paths is None:
             raise ValueError("cache built without shard tracking")
         wanted = {os.path.abspath(p) for p in shard_subset}
@@ -81,7 +88,8 @@ class CachedDataset:
         mask = np.isin(self.shard_ids, keep_ids)
         idx = np.nonzero(mask)[0]
         return CachedDataset(
-            images=np.ascontiguousarray(self.images[idx]),
+            images=(np.ascontiguousarray(self.images[idx]) if with_images
+                    else None),
             labels=self.labels[idx],
             keys=[self.keys[i] for i in idx],
             class_names=self.class_names,
@@ -356,6 +364,173 @@ def _local_permute_fn(img_sh, lab_sh):
 
 
 _PERMUTE_MEMO: dict = {}
+
+
+class HBMFoldView:
+    """A fold's train set as a window-sliceable prefix of an HBMFoldPool.
+
+    Quacks like HBMDataset for the fit() hbm path: ``.images``/``.labels``
+    are the pool's live device arrays, ``.local_count`` bounds
+    EpochSampler's windows to the fold-train prefix, and
+    ``local_reshuffle`` re-permutes that prefix on device.
+    """
+
+    def __init__(self, pool: "HBMFoldPool", local_count: int):
+        self._pool = pool
+        self._token = pool._fold_token
+        self.local_count = local_count
+        self.data_axis_size = pool.data_axis_size
+        self.mesh = pool.mesh
+        self.px = pool.px
+
+    def _check_live(self):
+        if self._token != self._pool._fold_token:
+            raise RuntimeError(
+                "stale HBMFoldView: the pool has been regrouped for "
+                "another fold since this view was created")
+
+    @property
+    def images(self):
+        self._check_live()
+        return self._pool.images
+
+    @property
+    def labels(self):
+        self._check_live()
+        return self._pool.labels
+
+    def local_reshuffle(self, seed: int) -> None:
+        """Per-device re-permutation of the fold-train prefix only (the
+        non-train region keeps its slots, so the fold grouping holds)."""
+        self._check_live()
+        pool, lt = self._pool, self.local_count
+        rng = np.random.default_rng(seed)
+        perm = np.stack([
+            np.concatenate([rng.permutation(lt),
+                            np.arange(lt, pool.local_count)])
+            for _ in range(pool.data_axis_size)]).astype(np.int32)
+        pool._apply_perm(perm)
+        # the view itself stays valid: regrouping token is unchanged
+        self._token = pool._fold_token
+
+
+class HBMFoldPool:
+    """The FULL train cache resident in HBM once per sweep; folds are
+    produced by on-device in-place regrouping instead of per-trial
+    re-uploads.
+
+    A k-fold sweep of T trials otherwise uploads the fold-train subset
+    ~k*T times (fit() builds an HBMDataset per fold-fit): ~(k-1)/k of the
+    dataset per upload — hundreds of GB over a reference-scale 200-trial
+    sweep, through whatever host<->device link exists.  This pool uploads
+    the dataset ONCE and switches folds with one HBM-bandwidth pass (the
+    same donated per-device gather local_reshuffle uses), so sweep
+    host->device image traffic drops from O(k*T*N) to O(N).
+
+    Layout: samples are dealt to devices stratified BY SHARD (each device
+    holds ~1/d of every shard), wrap-padded per device to a common local
+    length.  Because folds are unions of shards (kfold.py is shard-level),
+    every device then holds ~1/d of any fold, and a per-device slot
+    permutation can group that fold's train samples into a contiguous
+    prefix of near-uniform length.  ``select_fold`` costs one pass; the
+    prefix length is min over devices, so up to (d-1) samples per shard
+    imbalance are unreachable for that fold — bounded, reported via
+    ``last_dropped``, and negligible next to the sweep's own per-epoch
+    sample caps (reference train.py:19).
+    """
+
+    def __init__(self, cached: CachedDataset, mesh, seed: int = 0):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from irp_tpu.parallel.mesh import DATA_AXIS
+
+        if cached.shard_ids is None or cached.shard_paths is None:
+            raise ValueError("HBMFoldPool needs a cache built with shard "
+                             "tracking (build_cache does this)")
+        if cached.images is None:
+            raise ValueError("HBMFoldPool needs a cache with images")
+        self.mesh = mesh
+        self._cached = cached
+        d = mesh.shape[DATA_AXIS]
+        self.data_axis_size = d
+        self.px = int(cached.images.shape[1])
+
+        # stratified dealing: shard s's samples round-robin over devices,
+        # rotated by s so shard remainders don't all land on device 0
+        per_dev: list = [[] for _ in range(d)]
+        sids = np.asarray(cached.shard_ids)
+        for s in np.unique(sids):
+            samples = np.nonzero(sids == s)[0]
+            for t, g in enumerate(samples):
+                per_dev[(t + int(s)) % d].append(int(g))
+        local = max(len(lst) for lst in per_dev)
+        self.local_count = local
+        slot_sample = np.zeros((d, local), np.int64)
+        slot_pad = np.zeros((d, local), bool)
+        for i, lst in enumerate(per_dev):
+            if not lst:
+                raise ValueError(
+                    f"device {i} received no samples (dataset smaller "
+                    f"than the data axis?)")
+            reps = -(-local // len(lst))
+            padded = (lst * reps)[:local]
+            slot_sample[i] = padded
+            slot_pad[i, len(lst):] = True
+        self._slot_sample = slot_sample
+        self._slot_pad = slot_pad
+        self._fold_token = 0
+        self.last_dropped = 0
+
+        h, w, c = cached.images.shape[1:]
+        img_sh = NamedSharding(mesh, P(DATA_AXIS, None, None, None, None))
+        lab_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        self._img_sh, self._lab_sh = img_sh, lab_sh
+        imgs = np.ascontiguousarray(
+            cached.images[slot_sample.reshape(-1)]).reshape(
+            d, local, h, w, c)
+        labs = cached.labels[slot_sample.reshape(-1)].reshape(d, local)
+        self.images = jax.device_put(imgs, img_sh)
+        self.labels = jax.device_put(labs, lab_sh)
+        self.upload_bytes = imgs.nbytes + labs.nbytes
+        self._rng = np.random.default_rng(seed)
+
+    def _apply_perm(self, perm: np.ndarray) -> None:
+        import jax
+
+        perm_dev = jax.device_put(perm.astype(np.int32), self._lab_sh)
+        fn = _local_permute_fn(self._img_sh, self._lab_sh)
+        self.images, self.labels = fn(self.images, self.labels, perm_dev)
+        rows = np.arange(self.data_axis_size)[:, None]
+        self._slot_sample = self._slot_sample[rows, perm]
+        self._slot_pad = self._slot_pad[rows, perm]
+
+    def select_fold(self, train_shard_paths: Sequence[str]) -> HBMFoldView:
+        """Regroup so the given shards' samples form a per-device prefix;
+        returns the train view for fit(hbm_train=...)."""
+        cached = self._cached
+        wanted = {os.path.abspath(p) for p in train_shard_paths}
+        keep = np.asarray([i for i, p in enumerate(cached.shard_paths)
+                           if os.path.abspath(p) in wanted])
+        sample_in = np.isin(np.asarray(cached.shard_ids), keep)
+        d, local = self.data_axis_size, self.local_count
+        in_fold = sample_in[self._slot_sample] & ~self._slot_pad
+        counts = in_fold.sum(axis=1)
+        lt = int(counts.min())
+        if lt < 1:
+            raise ValueError("a device holds no samples of this fold")
+        perm = np.empty((d, local), np.int64)
+        for i in range(d):
+            train_slots = np.nonzero(in_fold[i])[0]
+            self._rng.shuffle(train_slots)
+            rest = np.nonzero(~in_fold[i])[0]
+            # overflow train slots (beyond the common prefix) go to the
+            # back: unreachable this fold, counted in last_dropped
+            perm[i] = np.concatenate(
+                [train_slots[:lt], rest, train_slots[lt:]])
+        self.last_dropped = int(counts.sum() - lt * d)
+        self._apply_perm(perm)
+        self._fold_token += 1
+        return HBMFoldView(self, lt)
 
 
 class HBMEvalSet:

@@ -58,6 +58,11 @@ class HyperoptContext:
     verbose: bool = False
     # override the search space (tests / restricted sweeps)
     space_fn: object = None
+    # One HBM-resident copy of the full train cache per sweep, with folds
+    # produced by on-device regrouping (pipeline.HBMFoldPool) instead of a
+    # per-fold-fit re-upload: host->device image traffic drops from
+    # O(k * trials * N) to O(N).  Off: the pre-pool per-fit uploads.
+    reuse_hbm_pool: bool = True
 
     def __post_init__(self):
         shards = list(self.cached.shard_paths or ())
@@ -73,6 +78,17 @@ class HyperoptContext:
         self._histograms = hist
         self._shards = shards
         self._fold_cache: Dict[int, List[List[str]]] = {}
+        self._hbm_pool = None  # lazily built per-ctx (== per worker mesh)
+
+    def hbm_pool(self, mesh):
+        """The sweep-wide HBM fold pool for this context's mesh (lazy;
+        one ctx == one mesh, parallel workers each get a replaced ctx)."""
+        if self._hbm_pool is None:
+            from irp_tpu.data.pipeline import HBMFoldPool
+
+            self._hbm_pool = HBMFoldPool(self.cached, mesh,
+                                         seed=self.hcfg.seed)
+        return self._hbm_pool
 
     def folds(self, k: int, seed: int) -> List[List[str]]:
         key = (k, seed)
@@ -132,11 +148,27 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
         fold_accuracies: List[float] = []
         epoch_accuracies: Dict[int, List[float]] = {}
 
+        use_pool = ctx.mode == "hbm" and ctx.reuse_hbm_pool
+        if use_pool:
+            from irp_tpu.parallel.mesh import make_mesh
+
+            mesh = ctx.mesh or make_mesh()
+        else:
+            mesh = ctx.mesh
+
         for fold_idx in range(k):
             val_shards = folds[fold_idx]
             train_shards = [s for i in range(k) if i != fold_idx
                             for s in folds[i]]
-            train_cached = ctx.cached.subset_by_shards(train_shards)
+            hbm_view = None
+            if use_pool:
+                # pixels come from the sweep-wide device-resident pool
+                # (one upload per sweep); the host subset is metadata-only
+                hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
+                train_cached = ctx.cached.subset_by_shards(
+                    train_shards, with_images=False)
+            else:
+                train_cached = ctx.cached.subset_by_shards(train_shards)
             val_cached = ctx.cached.subset_by_shards(val_shards)
 
             # dataclasses.replace keeps every model_base field (incl. any
@@ -169,9 +201,9 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
 
             try:
                 result = fit(train_cached, val_cached, ctx.info, model_cfg,
-                             train_cfg, mesh=ctx.mesh, logger=run,
+                             train_cfg, mesh=mesh, logger=run,
                              on_epoch_end=on_epoch_end, mode=ctx.mode,
-                             verbose=ctx.verbose)
+                             verbose=ctx.verbose, hbm_train=hbm_view)
             except TrialPruned:
                 raise
             except Exception as e:  # noqa: BLE001 — OOM -> -inf like ref

@@ -65,9 +65,15 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         mesh=None, logger=None, on_epoch_end=None, mode: str = "hbm",
         verbose: bool = False, use_class_weights: bool = True,
         restore_from: Optional[str] = None,
-        start_epoch: int = 0) -> FitResult:
+        start_epoch: int = 0, hbm_train=None) -> FitResult:
     """End-to-end fine-tune.  mode='hbm' keeps the dataset in device memory
     (the fast path); 'stream' feeds uint8 batches from host.
+
+    ``hbm_train``: an already-device-resident train set (an HBMFoldPool
+    view) — skips the per-fit HBMDataset upload entirely (sweep path:
+    one pool upload serves every fold of every trial).  ``train_cached``
+    may then be a metadata-only subset (subset_by_shards with_images=False);
+    it still provides len() for steps-per-epoch.
 
     ``restore_from``/``start_epoch``: resume a killed run from an Orbax
     checkpoint (train.checkpoint.save_checkpoint): the full TrainState —
@@ -83,7 +89,12 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     point — a resumed run can return a later best epoch or stop at a
     different epoch than the uninterrupted one.
     Net-new over the reference (no mid-run resume, SURVEY §5)."""
+    if hbm_train is not None and mode != "hbm":
+        raise ValueError("hbm_train requires mode='hbm'")
     mesh = mesh or make_mesh()
+    if hbm_train is not None and hbm_train.mesh is not mesh \
+            and hbm_train.mesh != mesh:
+        raise ValueError("hbm_train was built on a different mesh")
     key = jax.random.PRNGKey(train_cfg.seed)
     init_key, train_key = jax.random.split(key)
 
@@ -103,7 +114,13 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             variables, load_torch_checkpoint(model_cfg.pretrained_path))
     variables = shard_variables(mesh, variables)
 
-    cache_px = train_cached.images.shape[1] if len(train_cached) else 0
+    if hbm_train is not None:
+        cache_px = hbm_train.px
+    elif train_cached.images is None:
+        raise ValueError("train_cached has no images (metadata-only "
+                         "subset); pass hbm_train or a full subset")
+    else:
+        cache_px = train_cached.images.shape[1] if len(train_cached) else 0
     if cache_px and model_cfg.image_size > cache_px:
         # center_crop with a crop larger than the source silently yields
         # a wrong-shaped slice via negative indexing; fail clearly instead
@@ -126,7 +143,8 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     if mode == "hbm":
         from irp_tpu.train.step import make_hbm_epoch_step
 
-        hbm = HBMDataset(train_cached, mesh, shuffle_seed=train_cfg.seed)
+        hbm = (hbm_train if hbm_train is not None else
+               HBMDataset(train_cached, mesh, shuffle_seed=train_cfg.seed))
         if start_epoch > 0 and train_cfg.hbm_reshuffle:
             # local_reshuffle composes in place; replay the permutations
             # the skipped epochs would have applied so a resumed run sees
