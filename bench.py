@@ -61,17 +61,54 @@ def _fail(err):
     sys.exit(0)
 
 
+def _probe_backend_subprocess(timeout_s):
+    """Backend init dry-probe in a CHILD process with a hard timeout.
+
+    A wedged axon tunnel makes ``jax.devices()`` block FOREVER inside a C
+    gRPC wait (observed: tcp_recvmsg, 0% CPU) — no exception, so no retry
+    loop can save the parent.  Probing in a killable child converts that
+    hang into a clean structured failure; a healthy tunnel costs one extra
+    handshake (~seconds), well inside the budget.  Opt out with
+    BENCH_SKIP_PROBE=1.
+    """
+    import subprocess
+
+    code = "import jax; print(len(jax.devices()))"
+    _hb(f"probing backend init in a subprocess (timeout {timeout_s:.0f}s)")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s, env=dict(os.environ))
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"backend init probe hung past {timeout_s:.0f}s — the TPU "
+            "tunnel is wedged (backend init blocks in TCP, no error "
+            "raised); skipping the in-process attempt")
+    if proc.returncode != 0:
+        raise RuntimeError("backend init probe failed: "
+                           + proc.stderr.strip()[-500:])
+    _hb(f"probe OK ({proc.stdout.strip()} device(s))")
+
+
 def _init_backend_with_retry(make_mesh, mesh_cfg, tries=4):
     """The axon tunnel backend flaps UNAVAILABLE transiently; retry with
-    backoff before giving up."""
+    backoff before giving up.  Each attempt is preceded by a killable
+    subprocess probe so a WEDGED (hanging, not erroring) tunnel cannot
+    hang this process past its budget."""
+    probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "300"))
+    skip_probe = os.environ.get("BENCH_SKIP_PROBE") == "1"
     delay = 10.0
     for attempt in range(1, tries + 1):
         try:
             _hb(f"backend init attempt {attempt}/{tries}")
+            if not skip_probe:
+                _probe_backend_subprocess(
+                    min(probe_timeout, max(_remaining() - 60, 30)))
             return make_mesh(mesh_cfg)
         except Exception as e:  # noqa: BLE001 — includes RuntimeError wrap
             msg = str(e)
-            retryable = "UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg
+            retryable = ("UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg
+                         or "wedged" in msg)
             _hb(f"backend init failed ({msg[:200]!r}); "
                 f"{'retrying' if retryable and attempt < tries else 'fatal'}")
             if not retryable or attempt == tries:

@@ -247,6 +247,12 @@ def main(argv=None):
             parallel_workers=args.parallel_workers)
     extras["sweep_best_val_acc"] = round(study.best_value, 2)
     extras["sweep_trials"] = len(study.get_trials())
+    if ctx._hbm_pool is not None:
+        # the sweep's entire train-pixel upload: ONE pool residency
+        # (HBMFoldPool) instead of k*trials fold re-uploads
+        extras["sweep_pool_upload_gb"] = round(
+            ctx._hbm_pool.upload_bytes / 1024 ** 3, 2)
+        extras["sweep_pool_last_dropped"] = ctx._hbm_pool.last_dropped
 
     # ---- E. final full training ----------------------------------------
     with stage("final_train"):

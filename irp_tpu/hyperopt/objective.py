@@ -165,6 +165,15 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 # pixels come from the sweep-wide device-resident pool
                 # (one upload per sweep); the host subset is metadata-only
                 hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
+                bl = hp["batch_size"] // hbm_view.data_axis_size
+                if hbm_view.local_count < bl:
+                    # tiny-data edge: the fold's per-device prefix (min
+                    # over devices, no padding) can't fit one window;
+                    # legacy HBMDataset wrap-pads, so fall back to the
+                    # per-fit upload — cheap at exactly the scales where
+                    # this triggers
+                    hbm_view = None
+            if hbm_view is not None:
                 train_cached = ctx.cached.subset_by_shards(
                     train_shards, with_images=False)
             else:

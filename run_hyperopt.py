@@ -43,6 +43,10 @@ def main(argv=None):
                    help="run trials concurrently on per-worker TPU "
                         "sub-meshes (default: sequential)")
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--no-hbm-pool", action="store_true",
+                   help="disable the sweep-wide HBM fold pool (one "
+                        "device-resident train cache, on-device fold "
+                        "regrouping) and re-upload each fold per fit")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -94,7 +98,8 @@ def main(argv=None):
         space_fn = quick_space
 
     ctx = HyperoptContext(cached=cached, info=info, hcfg=hcfg,
-                          model_base=model_base, space_fn=space_fn)
+                          model_base=model_base, space_fn=space_fn,
+                          reuse_hbm_pool=not args.no_hbm_pool)
     run_kfold_optimization(ctx, n_trials=args.n_trials, verbose=True,
                            parallel_workers=args.parallel_workers)
     return 0
