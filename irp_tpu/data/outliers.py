@@ -39,12 +39,19 @@ from irp_tpu.data.pipeline import CachedDataset
 
 def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
                      batch_size: int = 64, variables=None,
-                     verbose: bool = False):
+                     verbose: bool = False, mesh=None):
     """Headless ResNet features for every cached image, batched on TPU.
 
     Returns (features (N,F) f32 numpy, labels (N,), keys).
     ``variables`` may carry pretrained weights (via models.convert);
     random-init features still give a consistent embedding geometry.
+
+    ``mesh``: upload the dataset ONCE (HBMEvalSet layout) and run one
+    scanned program over contiguous windows instead of a host->device
+    round-trip per batch — the fast path when the dataset fits in HBM.
+    The default per-batch streaming path remains for oversized datasets.
+    (Either way this is the batched rebuild of the reference's
+    one-image-at-a-time extraction, data_curation.py:674-679.)
     """
     import jax
     import jax.numpy as jnp
@@ -57,6 +64,32 @@ def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
     variables = variables or init_vars
 
     size = model_cfg.image_size
+    n = len(cached)
+
+    if mesh is not None and n:
+        from irp_tpu.data.pipeline import HBMEvalSet
+        from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+        ev = HBMEvalSet(cached, mesh, batch_size)
+
+        @jax.jit
+        def feature_epoch(data_u8, offsets):
+            def body(carry, off):
+                im = jax.lax.dynamic_slice_in_dim(data_u8, off,
+                                                  ev.per_device, axis=1)
+                im = im.reshape((-1,) + im.shape[2:])
+                x = eval_preprocess_batch(
+                    im, size, jnp.dtype(model_cfg.compute_dtype))
+                f = model.apply(variables, x, method=Classifier.features)
+                return carry, f.astype(jnp.float32)
+
+            _, out = jax.lax.scan(body, None, offsets)
+            return out
+
+        steps_out = np.asarray(feature_epoch(ev.images,
+                                             jnp.asarray(ev.offsets)))
+        features = ev.scatter_logits(steps_out)  # (n, F), original order
+        return features, np.asarray(cached.labels), list(cached.keys)
 
     @jax.jit
     def feature_step(images_u8):
@@ -66,7 +99,6 @@ def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
                                   jnp.dtype(model_cfg.compute_dtype))
         return model.apply(variables, x, method=Classifier.features)
 
-    n = len(cached)
     feats = []
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))

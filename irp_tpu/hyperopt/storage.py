@@ -118,10 +118,25 @@ class SQLiteStorage:
                         "UPDATE trials SET state='FAILED' "
                         "WHERE study_id=? AND state='RUNNING'", (row[0],))
                 return row[0]
-            cur = self._conn.execute(
-                "INSERT INTO studies (study_name, direction, created_at) "
-                "VALUES (?,?,?)", (study_name, direction, time.time()))
-            return cur.lastrowid
+            try:
+                cur = self._conn.execute(
+                    "INSERT INTO studies (study_name, direction, "
+                    "created_at) VALUES (?,?,?)",
+                    (study_name, direction, time.time()))
+                return cur.lastrowid
+            except sqlite3.IntegrityError:
+                # cross-process TOCTOU: another creator committed between
+                # our SELECT and INSERT (two spawned workers racing
+                # create_study on one db).  Re-read the winner's row.
+                row = self._conn.execute(
+                    "SELECT study_id FROM studies WHERE study_name=?",
+                    (study_name,)).fetchone()
+                if row is None:  # pragma: no cover — can't re-lose
+                    raise
+                if not load_if_exists:
+                    raise ValueError(
+                        f"study {study_name!r} already exists")
+                return row[0]
 
     def find_study(self, study_name: str):
         """study_id for an existing study, or None — pure read, no

@@ -132,9 +132,15 @@ def main(argv=None):
                                            mcfg.image_size)
             variables = merge_pretrained(
                 variables, load_torch_checkpoint(args.pretrained))
+        # HBM-resident scanned extraction: the dataset uploads once and
+        # one compiled program sweeps it (Animals-10 at 256^2 fits on a
+        # single chip's HBM with room to spare)
+        from irp_tpu.parallel.mesh import make_mesh
+
         feats, labels_arr, keys = extract_features(cached, mcfg,
                                                    variables=variables,
-                                                   verbose=True)
+                                                   verbose=True,
+                                                   mesh=make_mesh())
         emb, _ = create_embeddings(feats, labels_arr, verbose=True)
         cmask, gmask, _ = detect_outliers(emb, labels_arr)
         df = create_results_dataframe(emb, labels_arr, class_names, keys,

@@ -128,3 +128,49 @@ def test_crashed_worker_resume(tmp_path):
     assert nxt.number == 1
     resumed.tell(nxt, TrialState.COMPLETE, 1.0)
     assert resumed.best_value == 1.0
+
+
+def test_create_study_insert_race(tmp_path):
+    """Deterministic reproduction of the cross-process create_study race:
+    both creators SELECT (miss) before either INSERTs.  The loser's
+    IntegrityError must resolve to the winner's study id."""
+    db = str(tmp_path / "race.db")
+    a = SQLiteStorage(db)
+    b = SQLiteStorage(db)
+    state = {"injected": False}
+
+    class RacingConn:
+        """Delegates to a's connection, but lets 'the other process' (b)
+        commit the same study INSERT first."""
+
+        def __init__(self, conn):
+            self._c = conn
+
+        def execute(self, sql, *args):
+            if sql.lstrip().startswith("INSERT INTO studies") \
+                    and not state["injected"]:
+                state["injected"] = True
+                with b._lock, b._conn:
+                    b._conn.execute(sql, *args)
+            return self._c.execute(sql, *args)
+
+        def __enter__(self):
+            return self._c.__enter__()
+
+        def __exit__(self, *exc):
+            return self._c.__exit__(*exc)
+
+        def __getattr__(self, name):
+            return getattr(self._c, name)
+
+    a._conn = RacingConn(a._conn)
+    sid = a.get_or_create_study("raced", load_if_exists=True)
+    with b._lock, b._conn:
+        row = b._conn.execute(
+            "SELECT study_id FROM studies WHERE study_name='raced'"
+        ).fetchone()
+    assert state["injected"]
+    assert sid == row[0]
+    # duplicate create with load_if_exists=False stays a ValueError
+    with pytest.raises(ValueError, match="already exists"):
+        a.get_or_create_study("raced", load_if_exists=False)

@@ -137,3 +137,34 @@ def test_detect_outliers_end_to_end():
                                   class_mask, global_mask)
     assert set(df.columns) >= {"x", "y", "class_name", "is_outlier"}
     assert bool(df.is_outlier.iloc[-1])
+
+
+def test_extract_features_hbm_matches_streamed():
+    """The HBM-scanned extraction path (one upload, one compiled sweep)
+    must produce the same features in the same order as the per-batch
+    streaming path, including a non-divisible tail batch."""
+    import jax
+
+    from irp_tpu.config import MeshConfig, ModelConfig
+    from irp_tpu.data.outliers import extract_features
+    from irp_tpu.data.pipeline import CachedDataset
+    from irp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n = 21  # deliberately not a multiple of batch or mesh size
+    cached = CachedDataset(
+        images=rng.integers(0, 255, (n, 64, 64, 3), dtype=np.uint8),
+        labels=rng.integers(0, 3, n).astype(np.int32),
+        keys=[str(i) for i in range(n)],
+        class_names=("a", "b", "c"))
+    cfg = ModelConfig(depth=18, num_classes=3, image_size=56,
+                      compute_dtype="float32")
+    mesh = make_mesh(MeshConfig(data=4, model=1),
+                     devices=jax.devices()[:4])
+    f_stream, l1, k1 = extract_features(cached, cfg, batch_size=8)
+    f_hbm, l2, k2 = extract_features(cached, cfg, batch_size=8, mesh=mesh)
+    assert f_hbm.shape == f_stream.shape == (n, 512)
+    assert k1 == k2 and (l1 == l2).all()
+    # deterministic eval forward, f32: identical math up to reduction
+    # order differences across the two batch groupings
+    np.testing.assert_allclose(f_hbm, f_stream, rtol=1e-4, atol=1e-4)

@@ -58,17 +58,24 @@ def bench_feature_extraction(n_imgs, batch_size, depth, image_size, reps):
         class_names=tuple(str(i) for i in range(10)))
     cfg = ModelConfig(depth=depth, num_classes=10, image_size=image_size,
                       compute_dtype="bfloat16")
-    # warmup (compile + first execution)
-    extract_features(cached, cfg, batch_size=batch_size)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        feats, _, _ = extract_features(cached, cfg, batch_size=batch_size)
-        best = min(best, time.perf_counter() - t0)
-    emit("feature_extraction", imgs_per_sec=round(n_imgs / best, 1),
-         n_imgs=n_imgs, batch_size=batch_size, depth=depth,
-         image_size=image_size, secs=round(best, 2),
-         feat_dim=int(feats.shape[1]))
+    from irp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    feats = None
+    for label, kw in (("streamed", {}), ("hbm_scanned", {"mesh": mesh})):
+        # warmup (compile + first execution)
+        extract_features(cached, cfg, batch_size=batch_size, **kw)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            feats, _, _ = extract_features(cached, cfg,
+                                           batch_size=batch_size, **kw)
+            best = min(best, time.perf_counter() - t0)
+        emit("feature_extraction", mode=label,
+             imgs_per_sec=round(n_imgs / best, 1),
+             n_imgs=n_imgs, batch_size=batch_size, depth=depth,
+             image_size=image_size, secs=round(best, 2),
+             feat_dim=int(feats.shape[1]))
     return feats
 
 
