@@ -129,7 +129,11 @@ def bench_umap_lof(n, dim, reps):
          lof_flagged=int((np.asarray(lof) > 1.5).sum()))
 
 
-def bench_cache_build(n_imgs, size, tmp_root):
+def bench_cache_build(n_imgs, size, tmp_root, src_size=None):
+    """``src_size``: source JPEG resolution.  Default 1.25x the cache size
+    so both decoders do a REAL resize (Kaggle images are mixed-size; an
+    exactly-target-size synthetic corpus would measure the identity
+    shortcut instead)."""
     import shutil
 
     from synth import make_synthetic_shards
@@ -138,11 +142,16 @@ def bench_cache_build(n_imgs, size, tmp_root):
     from irp_tpu.data.jpeg import native_decoder_available
     from irp_tpu.data.pipeline import build_cache
 
-    shard_dir = os.path.join(tmp_root, "bench_shards")
+    # key the corpus by its parameters — a stale dir from another scale
+    # must never be silently reused
+    if src_size is None:
+        src_size = max(int(size * 1.25), size + 16)
+    shard_dir = os.path.join(tmp_root,
+                             f"bench_shards_{n_imgs}_{src_size}")
     if not os.path.isdir(shard_dir):
         per_class = max(n_imgs // 10, 1)
         make_synthetic_shards(shard_dir, num_classes=10, per_class=per_class,
-                              samples_per_shard=1000, seed=7, size=size)
+                              samples_per_shard=1000, seed=7, size=src_size)
     import glob as _glob
     shards = sorted(_glob.glob(os.path.join(shard_dir, "train-*.tar")))
     info = analyze_webdataset(shards)
