@@ -242,17 +242,54 @@ def categorical_intersection(rows, cols, vals, labels: np.ndarray,
 
 
 def spectral_init(rows, cols, vals, n: int, dim: int = 2,
-                  seed: int = 42) -> np.ndarray:
-    """Normalized-Laplacian spectral embedding init (UMAP default)."""
+                  seed: int = 42, use_device: bool = True) -> np.ndarray:
+    """Normalized-Laplacian spectral embedding init (UMAP default).
+
+    Device path: the smallest eigenvectors of L = I - D^-1/2 G D^-1/2 are
+    the LARGEST of A = 2I - L = I + S, found with jitted LOBPCG whose
+    matvec is a segment-sum over the sparse graph — the whole solve runs
+    on the accelerator (at 26k x 2048 curation scale the host
+    shift-invert eigsh was the single slowest UMAP stage, 28 s of 84 s).
+    Falls back to scipy eigsh, then to random init, on any failure.
+    """
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, rows, vals)
+    d_inv = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
+    s_vals = (d_inv[rows] * vals * d_inv[cols]).astype(np.float32)
+    k = dim + 1
+
+    if use_device:
+        try:
+            import jax
+            import jax.numpy as jnp
+            from jax.experimental.sparse.linalg import lobpcg_standard
+
+            r = jnp.asarray(np.asarray(rows, np.int32))
+            c = jnp.asarray(np.asarray(cols, np.int32))
+            v = jnp.asarray(s_vals)
+
+            def matvec(x):  # A @ x with A = I + S
+                return x + jax.ops.segment_sum(v[:, None] * x[c], r,
+                                               num_segments=n)
+
+            x0 = jnp.asarray(np.random.default_rng(seed).normal(
+                0, 1.0, (n, k)).astype(np.float32))
+            w, vecs, _ = lobpcg_standard(matvec, x0, m=200)
+            lam = 2.0 - np.asarray(w)  # eigenvalues of L, ascending-able
+            order = np.argsort(lam)
+            emb = np.asarray(vecs)[:, order[1:k]]
+            emb = emb / max(np.abs(emb).max(), 1e-12) * 10.0
+            return emb.astype(np.float32)
+        except Exception:  # noqa: BLE001 — fall through to host solver
+            pass
+
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
 
     g = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
-    deg = np.asarray(g.sum(axis=1)).ravel()
-    d_inv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-8)))
-    lap = sp.identity(n) - d_inv @ g @ d_inv
+    d_inv_m = sp.diags(d_inv)
+    lap = sp.identity(n) - d_inv_m @ g @ d_inv_m
     try:
-        k = dim + 1
         _, vecs = spl.eigsh(lap, k=k, sigma=0.0, which="LM",
                             maxiter=2000)
         emb = vecs[:, 1:k]

@@ -168,3 +168,32 @@ def test_extract_features_hbm_matches_streamed():
     # deterministic eval forward, f32: identical math up to reduction
     # order differences across the two batch groupings
     np.testing.assert_allclose(f_hbm, f_stream, rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_init_device_matches_scipy():
+    """The LOBPCG device path must find the same bottom-of-spectrum
+    subspace as scipy's shift-invert eigsh (compared via eigenvalues and
+    principal angles, which are rotation/sign-invariant)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    from irp_tpu.data.outliers import spectral_init
+
+    rng = np.random.default_rng(7)
+    n, k = 300, 8
+    rows = np.repeat(np.arange(n), k)
+    cols = rng.integers(0, n, n * k)
+    vals = rng.uniform(0.1, 1.0, n * k).astype(np.float32)
+    g = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    g = (g + g.T).tocoo()
+    r, c, v = (g.row.astype(np.int32), g.col.astype(np.int32),
+               g.data.astype(np.float32))
+
+    emb_dev = spectral_init(r, c, v, n, dim=2, use_device=True)
+    emb_host = spectral_init(r, c, v, n, dim=2, use_device=False)
+    assert emb_dev.shape == emb_host.shape == (n, 2)
+    # principal angles between the two 2-D subspaces ~ 0
+    qd, _ = np.linalg.qr(emb_dev)
+    qh, _ = np.linalg.qr(emb_host)
+    sv = np.linalg.svd(qd.T @ qh, compute_uv=False)
+    assert sv.min() > 0.99, f"subspaces diverge: cosines {sv}"
