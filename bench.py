@@ -268,7 +268,13 @@ def main():
         "bn_stats_mode": bn_mode,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
-    if eval_imgs_per_sec is not None:
+    import math
+
+    if eval_imgs_per_sec is not None and math.isfinite(eval_imgs_per_sec):
+        # eval_dt can remain inf when the eval warmup ate the budget and
+        # zero timed reps ran; Infinity in the output would break the
+        # always-parseable-JSON contract (json.dumps emits a non-standard
+        # token), so eval fields are only emitted when measured
         result["eval_imgs_per_sec_chip"] = round(eval_imgs_per_sec / n_chips,
                                                  1)
         result["eval_step_ms"] = round(1000 * eval_dt / eval_steps, 2)

@@ -107,8 +107,10 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=12)
     p.add_argument("--k-folds", type=int, default=3)
     p.add_argument("--parallel-workers", type=int, default=None,
-                   help="parallel trial scheduling (default: one worker "
-                        "per device)")
+                   help="parallel trial scheduling; default = one worker "
+                        "per device when >1 device is visible, else the "
+                        "sequential loop (identical semantics on one "
+                        "chip)")
     p.add_argument("--samples-per-shard", type=int, default=1000)
     p.add_argument("--acc-bar", type=float, default=95.0)
     p.add_argument("--bn-stats-mode", choices=("all", "trainable_only"),
@@ -241,18 +243,28 @@ def main(argv=None):
     ctx = HyperoptContext(
         cached=train_cached, info=info, hcfg=hcfg, model_base=model_base,
         space_fn=tiny_space if args.tiny else rehearsal_space)
+    workers = args.parallel_workers
+    if workers is None and len(jax.devices()) > 1:
+        workers = len(jax.devices())  # parallel scheduling on by default
+    extras["parallel_workers"] = workers or 1
     with stage("sweep"):
         study = run_kfold_optimization(
             ctx, n_trials=args.trials, verbose=True,
-            parallel_workers=args.parallel_workers)
-    extras["sweep_best_val_acc"] = round(study.best_value, 2)
+            parallel_workers=workers)
+    try:
+        extras["sweep_best_val_acc"] = round(study.best_value, 2)
+    except ValueError:
+        # every trial pruned/failed (OOM maps to -inf, which best_value
+        # excludes): keep going so the summary is still written and the
+        # graceful no-trials path in train_final_model reports cleanly
+        extras["sweep_best_val_acc"] = None
     extras["sweep_trials"] = len(study.get_trials())
-    if ctx._hbm_pool is not None:
+    if ctx.hbm_pool_stats is not None:
         # the sweep's entire train-pixel upload: ONE pool residency
-        # (HBMFoldPool) instead of k*trials fold re-uploads
+        # (HBMFoldPool, released by the runner before the final stage)
+        # instead of k*trials fold re-uploads
         extras["sweep_pool_upload_gb"] = round(
-            ctx._hbm_pool.upload_bytes / 1024 ** 3, 2)
-        extras["sweep_pool_last_dropped"] = ctx._hbm_pool.last_dropped
+            ctx.hbm_pool_stats["upload_bytes"] / 1024 ** 3, 2)
 
     # ---- E. final full training ----------------------------------------
     with stage("final_train"):

@@ -79,6 +79,7 @@ class HyperoptContext:
         self._shards = shards
         self._fold_cache: Dict[int, List[List[str]]] = {}
         self._hbm_pool = None  # lazily built per-ctx (== per worker mesh)
+        self.hbm_pool_stats: Optional[Dict] = None  # set on release
 
     def hbm_pool(self, mesh):
         """The sweep-wide HBM fold pool for this context's mesh (lazy;
@@ -89,6 +90,18 @@ class HyperoptContext:
             self._hbm_pool = HBMFoldPool(self.cached, mesh,
                                          seed=self.hcfg.seed)
         return self._hbm_pool
+
+    def release_hbm_pool(self):
+        """Drop the pool's device arrays (call after the sweep: the final
+        full-train stage builds its own HBMDataset of the same images, and
+        a still-alive pool would double device-resident pixel memory).
+        Lightweight stats survive in ``hbm_pool_stats``."""
+        if self._hbm_pool is not None:
+            self.hbm_pool_stats = {
+                "upload_bytes": self._hbm_pool.upload_bytes,
+                "last_dropped": self._hbm_pool.last_dropped,
+            }
+        self._hbm_pool = None
 
     def folds(self, k: int, seed: int) -> List[List[str]]:
         key = (k, seed)
@@ -164,15 +177,28 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
             if use_pool:
                 # pixels come from the sweep-wide device-resident pool
                 # (one upload per sweep); the host subset is metadata-only
-                hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
-                bl = hp["batch_size"] // hbm_view.data_axis_size
-                if hbm_view.local_count < bl:
-                    # tiny-data edge: the fold's per-device prefix (min
-                    # over devices, no padding) can't fit one window;
-                    # legacy HBMDataset wrap-pads, so fall back to the
-                    # per-fit upload — cheap at exactly the scales where
-                    # this triggers
-                    hbm_view = None
+                try:
+                    hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
+                except Exception as e:  # noqa: BLE001
+                    if not _is_oom(e):
+                        raise
+                    # the FULL cache doesn't fit (the legacy path uploads
+                    # only the (k-1)/k fold subset, which may still fit):
+                    # disable the pool for the rest of this sweep and fall
+                    # back to per-fit uploads instead of failing every
+                    # trial at a point outside fit()'s OOM->-inf guard
+                    ctx.reuse_hbm_pool = False
+                    use_pool = False
+                    ctx.release_hbm_pool()
+                if hbm_view is not None:
+                    bl = hp["batch_size"] // hbm_view.data_axis_size
+                    if hbm_view.local_count < bl:
+                        # tiny-data edge: the fold's per-device prefix
+                        # (min over devices, no padding) can't fit one
+                        # window; legacy HBMDataset wrap-pads, so fall
+                        # back to the per-fit upload — cheap at exactly
+                        # the scales where this triggers
+                        hbm_view = None
             if hbm_view is not None:
                 train_cached = ctx.cached.subset_by_shards(
                     train_shards, with_images=False)

@@ -74,13 +74,25 @@ def run_kfold_optimization(ctx: HyperoptContext,
                 mesh_ctxs[id(mesh)] = mesh_ctx
             return objective_kfold(trial, mesh_ctx)
 
-        run_parallel_trials(study, objective_for_mesh, n_trials,
-                            devices_per_trial=devices_per_trial,
-                            max_workers=parallel_workers, verbose=verbose)
+        try:
+            run_parallel_trials(study, objective_for_mesh, n_trials,
+                                devices_per_trial=devices_per_trial,
+                                max_workers=parallel_workers,
+                                verbose=verbose)
+        finally:
+            # free every worker's device-resident fold pool: the caller's
+            # next stage (final full training) uploads its own HBMDataset
+            # of the same images
+            for mctx in mesh_ctxs.values():
+                mctx.release_hbm_pool()
     else:
-        study.optimize(lambda t: objective_kfold(t, ctx), n_trials,
-                       callbacks=[progress_callback] if verbose else None,
-                       verbose=verbose)
+        try:
+            study.optimize(lambda t: objective_kfold(t, ctx), n_trials,
+                           callbacks=([progress_callback] if verbose
+                                      else None),
+                           verbose=verbose)
+        finally:
+            ctx.release_hbm_pool()
 
     if verbose:
         trials = study.get_trials()

@@ -50,7 +50,9 @@ def bench_feature_extraction(n_imgs, batch_size, depth, image_size, reps):
     from irp_tpu.data.outliers import extract_features
 
     rng = np.random.default_rng(0)
-    px = max(image_size, 224) if image_size >= 224 else image_size
+    # production geometry: the decode cache is 256px for a 224px model
+    # input (8/7), so extraction does a real center-crop, not an identity
+    px = max(image_size * 8 // 7, image_size)
     cached = CachedDataset(
         images=rng.integers(0, 255, (n_imgs, px, px, 3), dtype=np.uint8),
         labels=rng.integers(0, 10, n_imgs).astype(np.int32),
@@ -93,39 +95,39 @@ def bench_umap_lof(n, dim, reps):
     labels = rng.integers(0, 10, n).astype(np.int32)
     feats = centers[labels] + rng.normal(0, 1.0, (n, dim)).astype(np.float32)
 
-    t0 = time.perf_counter()
-    proj, _, _ = pca(feats, 50)
-    proj = np.asarray(proj)
-    t_pca = time.perf_counter() - t0
+    best = {}
+    lof = None
+    for _ in range(max(reps, 1)):  # best-of-reps per stage
 
-    t0 = time.perf_counter()
-    idx, dist = knn(proj, k=15)
-    t_knn = time.perf_counter() - t0
+        def timed(key, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best[key] = min(best.get(key, float("inf")), dt)
+            return out
 
-    t0 = time.perf_counter()
-    rows, cols, vals = fuzzy_simplicial_set(np.asarray(idx), np.asarray(dist))
-    vals = categorical_intersection(rows, cols, vals, labels)
-    t_graph = time.perf_counter() - t0
+        proj = np.asarray(timed("pca", lambda: pca(feats, 50)[0]))
+        idx, dist = timed("knn", lambda: knn(proj, k=15))
+        rows, cols, vals = timed(
+            "graph", lambda: fuzzy_simplicial_set(np.asarray(idx),
+                                                  np.asarray(dist)))
+        vals = categorical_intersection(rows, cols, vals, labels)
+        emb = timed("spectral",
+                    lambda: spectral_init(rows, cols, vals, n))
+        emb = timed("layout",
+                    lambda: optimize_layout(np.asarray(emb, np.float32),
+                                            rows, cols, vals, n_epochs=200))
+        lof = timed("lof",
+                    lambda: local_outlier_factor(np.asarray(emb, np.float32),
+                                                 n_neighbors=75))
 
-    t0 = time.perf_counter()
-    emb = spectral_init(rows, cols, vals, n)
-    t_init = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    emb = optimize_layout(np.asarray(emb, np.float32), rows, cols, vals,
-                          n_epochs=200)
-    t_layout = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    lof = local_outlier_factor(np.asarray(emb, np.float32), n_neighbors=75)
-    t_lof = time.perf_counter() - t0
-
-    emit("umap_lof", n=n, dim=dim, pca_s=round(t_pca, 2),
-         knn_s=round(t_knn, 2), graph_s=round(t_graph, 2),
-         spectral_s=round(t_init, 2), layout_s=round(t_layout, 2),
-         lof_s=round(t_lof, 2),
-         total_s=round(t_pca + t_knn + t_graph + t_init + t_layout + t_lof,
-                       2),
+    emit("umap_lof", n=n, dim=dim, reps=max(reps, 1),
+         pca_s=round(best["pca"], 2),
+         knn_s=round(best["knn"], 2), graph_s=round(best["graph"], 2),
+         spectral_s=round(best["spectral"], 2),
+         layout_s=round(best["layout"], 2),
+         lof_s=round(best["lof"], 2),
+         total_s=round(sum(best.values()), 2),
          lof_flagged=int((np.asarray(lof) > 1.5).sum()))
 
 
@@ -218,14 +220,16 @@ def main(argv=None):
         bench_cache_build(args.cache_imgs, 256 if not args.tiny else 96,
                           args.tmp)
 
+    # dump BEFORE the table loop (which strips the 'bench' key for
+    # display) so the JSON artifact keeps each row's identity
+    with open(os.path.join(args.tmp, "curation_bench.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
     print("\n| measurement | value |")
     print("|---|---|")
     for r in RESULTS:
-        name = r.pop("bench")
-        print(f"| {name} | " + ", ".join(f"{k}={v}" for k, v in r.items())
-              + " |")
-    with open(os.path.join(args.tmp, "curation_bench.json"), "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        rest = {k: v for k, v in r.items() if k != "bench"}
+        print(f"| {r['bench']} | "
+              + ", ".join(f"{k}={v}" for k, v in rest.items()) + " |")
     return 0
 
 
