@@ -204,8 +204,11 @@ def main(argv=None):
         test_cached = build_cache(test_shards, info.class_names,
                                   cache_dir=cache_dir, size=args.cache_size)
     n_imgs = len(train_cached) + len(test_cached)
-    extras["cache_imgs_per_sec_host"] = round(n_imgs / stages["cache_build"],
-                                              1)
+    # on --resume the caches load instantly (rounds to 0.0s): the rate is
+    # only meaningful when this run actually decoded the corpus
+    extras["cache_imgs_per_sec_host"] = (
+        round(n_imgs / stages["cache_build"], 1)
+        if stages["cache_build"] > 0 else None)
     extras["dataset_gb"] = round(
         (train_cached.images.nbytes + test_cached.images.nbytes) / 1024 ** 3,
         2)
@@ -247,9 +250,16 @@ def main(argv=None):
     if workers is None and len(jax.devices()) > 1:
         workers = len(jax.devices())  # parallel scheduling on by default
     extras["parallel_workers"] = workers or 1
+    # top up to --trials TOTAL (not +--trials more): a killed run's study
+    # persists in SQLite, so a re-run only owes the remainder
+    existing = len(run_kfold_optimization(ctx, n_trials=0,
+                                          verbose=False).get_trials())
+    remaining = max(args.trials - existing, 0)
+    if existing:
+        print(f"study has {existing} trials; running {remaining} more")
     with stage("sweep"):
         study = run_kfold_optimization(
-            ctx, n_trials=args.trials, verbose=True,
+            ctx, n_trials=remaining, verbose=True,
             parallel_workers=workers)
     try:
         extras["sweep_best_val_acc"] = round(study.best_value, 2)

@@ -157,17 +157,70 @@ def test_sweep_uploads_dataset_once(tmp_path, monkeypatch):
             reuse_hbm_pool=reuse)
         study = run_kfold_optimization(ctx, n_trials=3, verbose=False)
         assert study.best_value is not None
-        return list(big_uploads)
+        return list(big_uploads), ctx
 
-    pooled = run_sweep(True, "pooled")
-    unpooled = run_sweep(False, "unpooled")
+    pooled, pooled_ctx = run_sweep(True, "pooled")
+    unpooled, _ = run_sweep(False, "unpooled")
     # Train-side uploads (eval sets are 16 imgs = 110,592 B; fold-train is
     # 48 imgs = 331,776 B; the pool is 96 imgs = 663,552 B): the pool path
     # must upload train pixels exactly ONCE, at full-dataset size.
     dataset_bytes = 96 * 48 * 48 * 3
     train_thresh = 150_000
     assert [b for b in pooled if b > train_thresh] == [dataset_bytes]
+    # the runner must release the device-resident pool after the sweep
+    # (the final stage builds its own HBMDataset; a surviving pool would
+    # double pixel HBM), keeping lightweight stats for reporting
+    assert pooled_ctx._hbm_pool is None
+    # upload_bytes = image pixels + int32 labels (96 * 4 B)
+    assert pooled_ctx.hbm_pool_stats["upload_bytes"] == dataset_bytes + 96 * 4
     # legacy path: one fold-train upload per fold per trial (3 trials x 2)
     unpooled_train = [b for b in unpooled if b > train_thresh]
     assert len(unpooled_train) >= 6
     assert sum(unpooled_train) >= 2 * dataset_bytes
+
+
+def test_pool_oom_falls_back_to_per_fit_uploads(tmp_path, monkeypatch):
+    """A full-cache pool upload that OOMs must not fail the sweep: the
+    objective disables the pool for the rest of the sweep and every trial
+    completes on the legacy per-fit upload path (the legacy path uploads
+    only the (k-1)/k fold subset, which may still fit)."""
+    from irp_tpu.config import HyperoptConfig, ModelConfig
+    from irp_tpu.data import pipeline
+    from irp_tpu.hyperopt.objective import HyperoptContext, quick_space
+    from irp_tpu.hyperopt.runner import run_kfold_optimization
+    from irp_tpu import tracking
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    meta = make_synthetic_shards(str(tmp_path / "s"), num_classes=2,
+                                 per_class=24, samples_per_shard=12,
+                                 seed=7, size=48)
+    info = analyze_webdataset(meta["shards"])
+    cached = build_cache(meta["shards"], info.class_names, size=48)
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+
+    calls = []
+
+    def oom_select_fold(self, shards):
+        calls.append(len(shards))
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 999 bytes")
+
+    monkeypatch.setattr(pipeline.HBMFoldPool, "select_fold",
+                        oom_select_fold)
+    ctx = HyperoptContext(
+        cached=cached, info=info,
+        hcfg=HyperoptConfig(n_trials=2, k_folds=2, first_fold_min_acc=0.0,
+                            storage=str(tmp_path / "oom.db")),
+        model_base=ModelConfig(depth=18, num_classes=2, image_size=40,
+                               compute_dtype="float32"),
+        mesh=mesh, space_fn=quick_space,
+        train_samples_per_epoch=32, eval_samples=16)
+    study = run_kfold_optimization(ctx, n_trials=2, verbose=False)
+
+    assert len(calls) == 1, "pool must be disabled after the first OOM"
+    assert ctx.reuse_hbm_pool is False
+    assert ctx._hbm_pool is None, "OOM fallback must release the pool"
+    trials = study.get_trials()
+    assert len(trials) == 2
+    assert study.best_value is not None and study.best_value > -float("inf")

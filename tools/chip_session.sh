@@ -1,0 +1,63 @@
+#!/bin/bash
+# Orchestrate the round's real-chip work queue through one healthy tunnel
+# window.  Stages are marker-gated so the script is safely re-runnable
+# after a mid-run tunnel wedge (the rehearsal additionally --resumes from
+# its own Orbax checkpoints).  All output: /tmp/chip_session.log plus
+# per-stage logs under /tmp/chip/.
+#
+# Priority order (driver value per minute of healthy tunnel):
+#   1. bench.py default capture          (~10 min incl. compile)
+#   2. bench.py torch-parity BN capture  (~10 min)
+#   3. curation-stage chip benchmarks    (~30 min)
+#   4. full-scale dress rehearsal        (hours; resumable)
+set -u
+cd /root/repo
+mkdir -p /tmp/chip
+LOG=/tmp/chip_session.log
+exec >>"$LOG" 2>&1
+
+stamp() { date "+%F %T"; }
+echo "== chip_session start $(stamp) =="
+
+probe() {
+    timeout 150 python -c "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
+if ! probe; then
+    echo "$(stamp) tunnel unhealthy at start; aborting"
+    exit 3
+fi
+echo "$(stamp) tunnel healthy"
+
+run_stage() {  # name timeout_secs cmd...
+    local name=$1 tmo=$2; shift 2
+    local marker=/tmp/chip/done_$name
+    if [ -f "$marker" ]; then
+        echo "$(stamp) stage $name already done, skipping"
+        return 0
+    fi
+    echo "$(stamp) stage $name START: $*"
+    if timeout "$tmo" "$@" > "/tmp/chip/$name.log" 2>&1; then
+        touch "$marker"
+        echo "$(stamp) stage $name OK"
+        tail -3 "/tmp/chip/$name.log"
+    else
+        echo "$(stamp) stage $name FAILED rc=$? (log: /tmp/chip/$name.log)"
+        tail -5 "/tmp/chip/$name.log"
+        # a failed stage usually means the tunnel wedged again: re-probe
+        # before burning timeout budget on the remaining stages
+        if ! probe; then
+            echo "$(stamp) tunnel wedged after $name; stopping session"
+            exit 4
+        fi
+    fi
+}
+
+run_stage bench_default 2400 python bench.py
+run_stage bench_parity  2400 env BENCH_BN_MODE=all python bench.py
+run_stage curation      5400 python tools/bench_curation.py \
+    --umap-n 26000 --tmp /tmp/chip/curation
+run_stage rehearsal     21600 python examples/dress_rehearsal.py \
+    --work-dir /tmp/chip/rehearsal --resume
+
+echo "== chip_session end $(stamp) =="
