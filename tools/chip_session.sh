@@ -37,12 +37,29 @@ run_stage() {  # name timeout_secs cmd...
         return 0
     fi
     echo "$(stamp) stage $name START: $*"
-    if timeout "$tmo" "$@" > "/tmp/chip/$name.log" 2>&1; then
+    timeout "$tmo" "$@" > "/tmp/chip/$name.log" 2>&1
+    local rc=$?
+    # success predicates beyond rc: bench.py exits 0 even on terminal
+    # failure (structured {"error": ...} line — the always-parseable
+    # contract), and the rehearsal exits 3 when it COMPLETED but missed
+    # the accuracy bar (a result, not a transient failure — rerunning
+    # resumes a finished study and changes nothing).
+    local ok=false
+    case $name in
+        bench_*)
+            [ $rc -eq 0 ] && grep -q '"value": [0-9]' "/tmp/chip/$name.log" \
+                && ok=true ;;
+        rehearsal)
+            { [ $rc -eq 0 ] || [ $rc -eq 3 ]; } && ok=true ;;
+        *)
+            [ $rc -eq 0 ] && ok=true ;;
+    esac
+    if $ok; then
         touch "$marker"
-        echo "$(stamp) stage $name OK"
+        echo "$(stamp) stage $name OK (rc=$rc)"
         tail -3 "/tmp/chip/$name.log"
     else
-        echo "$(stamp) stage $name FAILED rc=$? (log: /tmp/chip/$name.log)"
+        echo "$(stamp) stage $name FAILED rc=$rc (log: /tmp/chip/$name.log)"
         tail -5 "/tmp/chip/$name.log"
         # a failed stage usually means the tunnel wedged again: re-probe
         # before burning timeout budget on the remaining stages
