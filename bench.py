@@ -270,9 +270,11 @@ def main():
     }
     import math
 
-    if eval_imgs_per_sec is not None and math.isfinite(eval_imgs_per_sec):
-        # eval_dt can remain inf when the eval warmup ate the budget and
-        # zero timed reps ran; Infinity in the output would break the
+    if (eval_imgs_per_sec is not None and eval_dt is not None
+            and math.isfinite(eval_dt)):
+        # eval_dt stays inf when the eval warmup ate the budget and zero
+        # timed reps ran — n/inf == 0.0 is finite, so the guard must test
+        # eval_dt itself: Infinity in eval_step_ms would break the
         # always-parseable-JSON contract (json.dumps emits a non-standard
         # token), so eval fields are only emitted when measured
         result["eval_imgs_per_sec_chip"] = round(eval_imgs_per_sec / n_chips,

@@ -176,10 +176,19 @@ def main(argv=None):
     shard_dir = os.path.join(args.work_dir, "shards")
     n_test_pc = max(int(args.per_class * args.test_frac), 1)
     n_train_pc = args.per_class - n_test_pc
+    corpus_marker = os.path.join(shard_dir, "corpus.complete")
     with stage("corpus"):
-        if glob.glob(os.path.join(shard_dir, "train-*.tar")):
+        # a bare train-*.tar glob is NOT proof of a complete corpus: a run
+        # killed mid-generation leaves train shards but no test shards (or
+        # a truncated last tar) — only trust the end-of-generation marker,
+        # and wipe any partial dir before regenerating
+        if os.path.exists(corpus_marker):
             print("corpus exists, skipping generation")
         else:
+            if os.path.isdir(shard_dir):
+                import shutil
+
+                shutil.rmtree(shard_dir)
             make_synthetic_shards(
                 shard_dir, num_classes=args.classes, per_class=n_train_pc,
                 samples_per_shard=args.samples_per_shard, seed=0,
@@ -188,6 +197,8 @@ def main(argv=None):
                 shard_dir, num_classes=args.classes, per_class=n_test_pc,
                 samples_per_shard=args.samples_per_shard, seed=1,
                 size=args.cache_size, prefix="test", hard=True)
+            with open(corpus_marker, "w") as f:
+                f.write("complete\n")
     train_shards = sorted(glob.glob(os.path.join(shard_dir, "train-*.tar")))
     test_shards = sorted(glob.glob(os.path.join(shard_dir, "test-*.tar")))
 

@@ -23,6 +23,7 @@ functions/data_curation.py:654-870):
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 import shutil
 from typing import Optional
@@ -56,49 +57,43 @@ def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
     import jax
     import jax.numpy as jnp
 
-    from irp_tpu.models import Classifier, init_classifier
+    from irp_tpu.models import init_classifier
 
     model_cfg = model_cfg or ModelConfig()
-    model, init_vars = init_classifier(model_cfg, jax.random.PRNGKey(0),
+    if variables is None:
+        _, variables = init_classifier(model_cfg, jax.random.PRNGKey(0),
                                        image_size=model_cfg.image_size)
-    variables = variables or init_vars
 
     size = model_cfg.image_size
     n = len(cached)
 
     if mesh is not None and n:
-        from irp_tpu.data.pipeline import HBMEvalSet
-        from irp_tpu.ops.preprocess import eval_preprocess_batch
+        try:
+            from irp_tpu.data.pipeline import HBMEvalSet
 
-        ev = HBMEvalSet(cached, mesh, batch_size)
+            ev = HBMEvalSet(cached, mesh, batch_size)
+            feature_epoch = _feature_epoch_program(
+                model_cfg, ev.per_device, size)
+            steps_out = np.asarray(feature_epoch(variables, ev.images,
+                                                 jnp.asarray(ev.offsets)))
+            features = ev.scatter_logits(steps_out)  # (n, F), orig order
+            return features, np.asarray(cached.labels), list(cached.keys)
+        except Exception as e:  # noqa: BLE001 — OOM only; else re-raise
+            from irp_tpu.utils.errors import is_oom_error
 
-        @jax.jit
-        def feature_epoch(data_u8, offsets):
-            def body(carry, off):
-                im = jax.lax.dynamic_slice_in_dim(data_u8, off,
-                                                  ev.per_device, axis=1)
-                im = im.reshape((-1,) + im.shape[2:])
-                x = eval_preprocess_batch(
-                    im, size, jnp.dtype(model_cfg.compute_dtype))
-                f = model.apply(variables, x, method=Classifier.features)
-                return carry, f.astype(jnp.float32)
+            if not is_oom_error(e):
+                raise
+            # dataset doesn't fit in HBM: the per-batch streaming path
+            # below handles any size (one host->device transfer per batch)
+            import warnings
 
-            _, out = jax.lax.scan(body, None, offsets)
-            return out
+            warnings.warn(
+                f"extract_features: HBM-resident path OOMed on "
+                f"{n} x {cached.images.shape[1:]} "
+                f"({cached.images.nbytes / 1e9:.1f} GB); streaming "
+                f"per-batch instead", RuntimeWarning, stacklevel=2)
 
-        steps_out = np.asarray(feature_epoch(ev.images,
-                                             jnp.asarray(ev.offsets)))
-        features = ev.scatter_logits(steps_out)  # (n, F), original order
-        return features, np.asarray(cached.labels), list(cached.keys)
-
-    @jax.jit
-    def feature_step(images_u8):
-        from irp_tpu.ops.preprocess import eval_preprocess_batch
-
-        x = eval_preprocess_batch(images_u8, size,
-                                  jnp.dtype(model_cfg.compute_dtype))
-        return model.apply(variables, x, method=Classifier.features)
-
+    feature_step = _feature_step_program(model_cfg, size)
     feats = []
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
@@ -106,12 +101,67 @@ def extract_features(cached: CachedDataset, model_cfg: ModelConfig = None,
         if len(idx) < batch_size:  # pad for a static shape
             pad = np.resize(idx, batch_size)
             batch = np.asarray(cached.images[pad])
-        out = np.asarray(feature_step(batch), np.float32)[:len(idx)]
+        out = np.asarray(feature_step(variables, batch),
+                         np.float32)[:len(idx)]
         feats.append(out)
         if verbose and (start // batch_size) % 20 == 0:
             print(f"features: {start + len(idx)}/{n}")
     features = np.concatenate(feats) if feats else np.zeros((0, 1))
     return features, np.asarray(cached.labels), list(cached.keys)
+
+
+@_functools.lru_cache(maxsize=8)
+def _feature_epoch_program(model_cfg: ModelConfig, per_device: int,
+                           size: int):
+    """Jitted scanned feature pass over an HBM-resident eval layout,
+    memoized on structural keys: repeated extractions (curation re-runs,
+    benchmark reps) must reuse the compiled program instead of paying a
+    re-trace per call.  ``variables`` is a runtime argument, so weight
+    values never bake into the program."""
+    import jax
+    import jax.numpy as jnp
+
+    from irp_tpu.models import Classifier, get_classifier
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    model = get_classifier(model_cfg)
+
+    @jax.jit
+    def feature_epoch(variables, data_u8, offsets):
+        def body(carry, off):
+            im = jax.lax.dynamic_slice_in_dim(data_u8, off,
+                                              per_device, axis=1)
+            im = im.reshape((-1,) + im.shape[2:])
+            x = eval_preprocess_batch(
+                im, size, jnp.dtype(model_cfg.compute_dtype))
+            f = model.apply(variables, x, method=Classifier.features)
+            return carry, f.astype(jnp.float32)
+
+        _, out = jax.lax.scan(body, None, offsets)
+        return out
+
+    return feature_epoch
+
+
+@_functools.lru_cache(maxsize=8)
+def _feature_step_program(model_cfg: ModelConfig, size: int):
+    """Jitted per-batch feature forward (streaming path), memoized like
+    :func:`_feature_epoch_program`."""
+    import jax
+    import jax.numpy as jnp
+
+    from irp_tpu.models import Classifier, get_classifier
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    model = get_classifier(model_cfg)
+
+    @jax.jit
+    def feature_step(variables, images_u8):
+        x = eval_preprocess_batch(images_u8, size,
+                                  jnp.dtype(model_cfg.compute_dtype))
+        return model.apply(variables, x, method=Classifier.features)
+
+    return feature_step
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +291,12 @@ def categorical_intersection(rows, cols, vals, labels: np.ndarray,
     return np.where(same, vals, vals * scale).astype(np.float32)
 
 
+# which solver the most recent spectral_init call actually used
+# ("lobpcg" | "eigsh" | "random") — lets callers/tests detect a silent
+# downgrade of the device path
+last_spectral_path: Optional[str] = None
+
+
 def spectral_init(rows, cols, vals, n: int, dim: int = 2,
                   seed: int = 42, use_device: bool = True) -> np.ndarray:
     """Normalized-Laplacian spectral embedding init (UMAP default).
@@ -252,6 +308,7 @@ def spectral_init(rows, cols, vals, n: int, dim: int = 2,
     shift-invert eigsh was the single slowest UMAP stage, 28 s of 84 s).
     Falls back to scipy eigsh, then to random init, on any failure.
     """
+    global last_spectral_path
     deg = np.zeros(n, np.float64)
     np.add.at(deg, rows, vals)
     d_inv = 1.0 / np.sqrt(np.maximum(deg, 1e-8))
@@ -279,9 +336,16 @@ def spectral_init(rows, cols, vals, n: int, dim: int = 2,
             order = np.argsort(lam)
             emb = np.asarray(vecs)[:, order[1:k]]
             emb = emb / max(np.abs(emb).max(), 1e-12) * 10.0
+            last_spectral_path = "lobpcg"
             return emb.astype(np.float32)
-        except Exception:  # noqa: BLE001 — fall through to host solver
-            pass
+        except Exception as e:  # noqa: BLE001 — fall through to host solver
+            # a silent downgrade would hide the 28s->2.1s device win (and
+            # make the device-parity test vacuous): make it observable
+            import warnings
+
+            warnings.warn(f"spectral_init: device LOBPCG path failed "
+                          f"({e!r}); falling back to scipy eigsh",
+                          RuntimeWarning, stacklevel=2)
 
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
@@ -293,8 +357,10 @@ def spectral_init(rows, cols, vals, n: int, dim: int = 2,
         _, vecs = spl.eigsh(lap, k=k, sigma=0.0, which="LM",
                             maxiter=2000)
         emb = vecs[:, 1:k]
+        last_spectral_path = "eigsh"
     except Exception:  # noqa: BLE001 — fall back to random init
         emb = np.random.default_rng(seed).normal(0, 1e-2, (n, dim))
+        last_spectral_path = "random"
     emb = emb / max(np.abs(emb).max(), 1e-12) * 10.0
     return emb.astype(np.float32)
 

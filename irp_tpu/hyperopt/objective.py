@@ -145,8 +145,9 @@ def quick_space(trial: Trial) -> Dict:
 
 
 def _is_oom(exc: Exception) -> bool:
-    s = str(exc)
-    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+    from irp_tpu.utils.errors import is_oom_error
+
+    return is_oom_error(exc)
 
 
 def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:

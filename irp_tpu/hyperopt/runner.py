@@ -82,9 +82,21 @@ def run_kfold_optimization(ctx: HyperoptContext,
         finally:
             # free every worker's device-resident fold pool: the caller's
             # next stage (final full training) uploads its own HBMDataset
-            # of the same images
+            # of the same images.  Aggregate the per-worker pool stats
+            # onto the CALLER's ctx — that is the object reporting code
+            # holds (the per-mesh replicas are internal to this runner).
             for mctx in mesh_ctxs.values():
                 mctx.release_hbm_pool()
+            worker_stats = [m.hbm_pool_stats for m in mesh_ctxs.values()
+                            if m.hbm_pool_stats is not None]
+            if worker_stats and ctx.hbm_pool_stats is None:
+                ctx.hbm_pool_stats = {
+                    "upload_bytes": sum(s["upload_bytes"]
+                                        for s in worker_stats),
+                    "last_dropped": max(s["last_dropped"]
+                                        for s in worker_stats),
+                    "n_worker_pools": len(worker_stats),
+                }
     else:
         try:
             study.optimize(lambda t: objective_kfold(t, ctx), n_trials,

@@ -3,6 +3,7 @@
 from irp_tpu.models.resnet import ResNet, STAGE_SIZES  # noqa: F401
 from irp_tpu.models.classifier import (  # noqa: F401
     Classifier,
+    get_classifier,
     init_classifier,
     weighted_cross_entropy,
 )

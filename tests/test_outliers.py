@@ -177,6 +177,7 @@ def test_spectral_init_device_matches_scipy():
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
 
+    from irp_tpu.data import outliers
     from irp_tpu.data.outliers import spectral_init
 
     rng = np.random.default_rng(7)
@@ -190,7 +191,11 @@ def test_spectral_init_device_matches_scipy():
                g.data.astype(np.float32))
 
     emb_dev = spectral_init(r, c, v, n, dim=2, use_device=True)
+    # guard against a vacuous host-vs-host comparison: the device call
+    # must actually have used LOBPCG, not silently fallen back
+    assert outliers.last_spectral_path == "lobpcg"
     emb_host = spectral_init(r, c, v, n, dim=2, use_device=False)
+    assert outliers.last_spectral_path == "eigsh"
     assert emb_dev.shape == emb_host.shape == (n, 2)
     # principal angles between the two 2-D subspaces ~ 0
     qd, _ = np.linalg.qr(emb_dev)

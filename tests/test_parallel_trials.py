@@ -88,6 +88,13 @@ def test_parallel_kfold_runner(tmp_path):
     trials = study.get_trials()
     assert len(trials) == 2
     assert all(t.state == "COMPLETE" for t in trials)
+    # the runner must surface the per-worker HBM pool stats on the
+    # CALLER's ctx (the per-mesh replicas are internal) with the pools
+    # themselves released
+    assert ctx._hbm_pool is None
+    assert ctx.hbm_pool_stats is not None
+    assert ctx.hbm_pool_stats["upload_bytes"] > 0
+    assert ctx.hbm_pool_stats["n_worker_pools"] >= 1
 
 
 def test_prefetch_to_device():

@@ -63,15 +63,28 @@ def bench_feature_extraction(n_imgs, batch_size, depth, image_size, reps):
     from irp_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh()
+    # init weights ONCE outside the timed region: with `variables` passed
+    # in, extract_features skips the per-call device random-init of the
+    # full backbone, and its memoized jit programs make every rep after
+    # the warmup a pure execution — the timed number is extraction, not
+    # setup (review finding on an earlier version of this harness)
+    import jax
+
+    from irp_tpu.models import init_classifier
+
+    _, variables = init_classifier(cfg, jax.random.PRNGKey(0),
+                                   image_size=image_size)
     feats = None
     for label, kw in (("streamed", {}), ("hbm_scanned", {"mesh": mesh})):
         # warmup (compile + first execution)
-        extract_features(cached, cfg, batch_size=batch_size, **kw)
+        extract_features(cached, cfg, batch_size=batch_size,
+                         variables=variables, **kw)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             feats, _, _ = extract_features(cached, cfg,
-                                           batch_size=batch_size, **kw)
+                                           batch_size=batch_size,
+                                           variables=variables, **kw)
             best = min(best, time.perf_counter() - t0)
         emit("feature_extraction", mode=label,
              imgs_per_sec=round(n_imgs / best, 1),

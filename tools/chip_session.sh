@@ -70,8 +70,12 @@ run_stage() {  # name timeout_secs cmd...
     fi
 }
 
-run_stage bench_default 2400 python bench.py
-run_stage bench_parity  2400 env BENCH_BN_MODE=all python bench.py
+# bench.py's internal budget must expire BEFORE the external timeout so
+# its partial-result/structured-failure machinery gets to emit JSON
+# (default BENCH_BUDGET_SECS=3300 > 2400 would mean SIGTERM, no output)
+run_stage bench_default 2400 env BENCH_BUDGET_SECS=2100 python bench.py
+run_stage bench_parity  2400 env BENCH_BUDGET_SECS=2100 BENCH_BN_MODE=all \
+    python bench.py
 run_stage curation      5400 python tools/bench_curation.py \
     --umap-n 26000 --tmp /tmp/chip/curation
 run_stage rehearsal     21600 python examples/dress_rehearsal.py \
