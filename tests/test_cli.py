@@ -130,6 +130,30 @@ def test_run_hyperopt_then_final_cli(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
+def test_run_curation_cli_outliers(fake_kaggle, tmp_path):
+    """The --outliers stage end-to-end through the CLI: HBM-scanned
+    feature extraction (with streaming fallback), UMAP embedding, LOF
+    flags, clean-set rewrite, then shard creation from the cleaned set."""
+    import glob
+
+    import run_curation
+
+    work = str(tmp_path / "work")
+    rc = run_curation.main([
+        "--kaggle-path", fake_kaggle, "--work-dir", work,
+        "--samples-per-shard", "10", "--test-size", "0.25",
+        "--target-size", "64", "--outliers"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(work, "umap.png"))
+    assert os.path.exists(os.path.join(work, "outliers.png"))
+    # the clean set feeds sharding: both classes survive curation
+    clean = os.path.join(work, "clean")
+    classes = sorted(os.listdir(clean))
+    assert len(classes) == 2
+    assert glob.glob(os.path.join(work, "webdataset", "train-*.tar"))
+
+
 def test_load_image_dir_cache(fake_kaggle, tmp_path):
     """The outlier stage's directory decoder: preallocated uint8 cache,
     native batch path with PIL fallback, class-sorted labels."""
