@@ -61,6 +61,68 @@ print(f"TOTAL{{pid}}:{{val}}", flush=True)
 """
 
 
+_TRAIN_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from irp_tpu.parallel import distributed
+
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+distributed.initialize(coordinator_address=coord, num_processes=2,
+                       process_id=pid)
+import jax
+import jax.numpy as jnp
+
+assert jax.process_count() == 2
+
+# a REAL training step over the global 8-device / 2-process mesh
+# (dp4 x tp2): HBM-resident dataset sharded across both processes,
+# GSPMD gradient psum riding the cross-process collective path, Megatron
+# head sharding on 'model'.  Every process feeds identical host data
+# (fully-replicated source), so the global arrays are well-defined.
+from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from irp_tpu.data.pipeline import CachedDataset, EpochSampler, HBMDataset
+from irp_tpu.models import init_classifier
+from irp_tpu.parallel.mesh import make_mesh, shard_variables
+from irp_tpu.train.state import create_train_state
+from irp_tpu.train.step import make_hbm_train_step
+
+mesh = make_mesh(MeshConfig(data=4, model=2))
+size, crop = 64, 56
+model_cfg = ModelConfig(depth=18, num_classes=4, image_size=crop,
+                        compute_dtype="float32")
+train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
+                        batch_size=8)
+rng = np.random.default_rng(0)  # identical data in both processes
+n = 16
+cached = CachedDataset(
+    images=rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8),
+    labels=rng.integers(0, 4, n).astype(np.int32),
+    keys=[str(i) for i in range(n)],
+    class_names=("a", "b", "c", "d"))
+
+model, variables = init_classifier(model_cfg, jax.random.PRNGKey(0),
+                                   image_size=crop)
+variables = shard_variables(mesh, variables)
+state = create_train_state(model, variables, train_cfg, model_cfg,
+                           steps_per_epoch=2)
+hbm = HBMDataset(cached, mesh)
+sampler = EpochSampler(hbm, 8, seed=0)
+step = make_hbm_train_step(mesh, sampler.per_device,
+                           class_weights=(1.0, 1.0, 1.0, 1.0),
+                           intensity="medium", out_size=crop,
+                           compute_dtype=jnp.float32)
+offset = jnp.asarray(sampler.epoch_offsets(1)[0])
+state, metrics = step(state, hbm.images, hbm.labels, offset,
+                      jax.random.PRNGKey(1))
+# the loss is a replicated global scalar: read this process's replica
+loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+assert np.isfinite(loss), loss
+print(f"LOSS{{pid}}:{{loss:.6f}}", flush=True)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -101,3 +163,38 @@ def test_two_process_jax_distributed(tmp_path):
     # both processes observed the same global reduction
     for pid, out in enumerate(outs):
         assert f"TOTAL{pid}:28.0" in out, out
+
+
+def test_two_process_training_step(tmp_path):
+    """A full irp_tpu training step (HBM dataset + augmentation + fwd/bwd
+    + masked Adam) executed across TWO processes on a global dp4 x tp2
+    mesh — the closest on-host stand-in for real multi-host training:
+    the gradient psum and head collectives cross the process boundary."""
+    script = tmp_path / "train_child.py"
+    script.write_text(_TRAIN_CHILD.format(repo=REPO))
+    coord = f"127.0.0.1:{_free_port()}"
+    env = cpu_child_env(4)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(pid), coord],
+                         env=env, cwd=REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    losses = []
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"LOSS{pid}:")][0]
+        losses.append(float(line.split(":", 1)[1]))
+    # a replicated global scalar: both processes must hold the SAME loss
+    assert losses[0] == losses[1], losses
