@@ -1,0 +1,337 @@
+"""Batched inference / serving for trained classifiers.
+
+The reference stops at evaluation: its trained model is only ever run
+inside the final-eval loop (reference functions/final.py:27-63,
+functions/train.py:192-238) — there is no load-weights-and-score-new-data
+path anywhere.  This module is that missing deployment story, TPU-first:
+
+- load a final-weights artifact: the ``.npz`` that ``train_final_model``
+  saves (train/checkpoint.py::save_weights_npz), or a torch ``.pth`` —
+  ours (checkpoint.py::export_torch_pth) or one the reference stack saved
+  (models/convert maps the state_dict bidirectionally, head included);
+- the model architecture (depth / block type / head widths / class count)
+  is inferred from the weight tree itself, so serving needs only the
+  artifact;
+- ONE fixed-shape jitted forward per predictor: requests of any size are
+  padded into full batches, so the program compiles once and every call
+  afterwards is a single dispatch per batch — no retraces, no dynamic
+  shapes (XLA/TPU contract);
+- optional data parallelism: hand ``load_predictor`` a
+  ``jax.sharding.Mesh`` and batches shard over the ``data`` axis with
+  replicated params (GSPMD partitions the forward; no code change);
+- scoring entry points for uint8 arrays, image files, and WebDataset
+  shards (bulk re-scoring of a curated dataset).
+
+Preprocessing is the exact eval contract used at training time
+(ops/preprocess.py::eval_preprocess_batch — CenterCrop + ImageNet
+normalize from the 256x256 cache geometry, reference dataload.py:51-57),
+so served predictions are bit-identical to final-eval predictions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from irp_tpu.config import IMAGENET_MEAN, IMAGENET_STD, ModelConfig
+
+_BASIC_DEPTHS = {(2, 2, 2, 2): 18, (3, 4, 6, 3): 34}
+_BOTTLENECK_DEPTHS = {(3, 4, 6, 3): 50, (3, 4, 23, 3): 101, (3, 8, 36, 3): 152}
+
+
+def infer_model_config(params: dict, image_size: int = 224,
+                       compute_dtype: str = "bfloat16") -> ModelConfig:
+    """Reconstruct the ModelConfig a weight tree was trained with.
+
+    Depth comes from the per-stage block counts + block type (conv3 =>
+    bottleneck), head widths and class count from the head kernels.  Only
+    architecture-bearing fields are recovered; training-only fields
+    (dropout, freezing) keep defaults — they don't affect ``train=False``
+    forwards except dropout, which is off.
+    """
+    backbone = params["backbone"]
+    counts = [0, 0, 0, 0]
+    bottleneck = False
+    for key in backbone:
+        if key.startswith("layer") and "_block" in key:
+            stage, block = key.split("_block")
+            counts[int(stage[len("layer"):]) - 1] += 1
+            bottleneck = bottleneck or "conv3" in backbone[key]
+    table = _BOTTLENECK_DEPTHS if bottleneck else _BASIC_DEPTHS
+    depth = table.get(tuple(counts))
+    if depth is None:
+        raise ValueError(f"unrecognized ResNet stage sizes {counts} "
+                         f"(bottleneck={bottleneck})")
+    hidden_dim, num_classes = (int(np.shape(params["head_dense1"]["kernel"])[1]),
+                               int(np.shape(params["head_dense2"]["kernel"])[1]))
+    return ModelConfig(depth=depth, num_classes=num_classes,
+                       image_size=image_size, hidden_dim=hidden_dim,
+                       compute_dtype=compute_dtype)
+
+
+@dataclass
+class PredictionResult:
+    """Scored batch: argmax labels + full softmax probabilities."""
+
+    labels: np.ndarray                     # (N,) int32
+    probs: np.ndarray                      # (N, num_classes) float32
+    class_names: Optional[Sequence[str]] = None
+    keys: Optional[List[str]] = None       # file paths / shard keys
+
+    def __len__(self):
+        return int(self.labels.shape[0])
+
+    def topk(self, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+        """(indices (N,k), probabilities (N,k)), descending."""
+        k = min(k, self.probs.shape[1])
+        idx = np.argsort(-self.probs, axis=1)[:, :k]
+        return idx, np.take_along_axis(self.probs, idx, axis=1)
+
+    def label_names(self) -> List[str]:
+        if self.class_names is None:
+            return [str(i) for i in self.labels]
+        return [self.class_names[i] for i in self.labels]
+
+
+@dataclass
+class Predictor:
+    """A compiled, padded-batch classifier forward.
+
+    Build via :func:`load_predictor` (from a weights artifact) or directly
+    from in-memory variables via :func:`make_predictor`.
+    """
+
+    model: object
+    params: dict
+    batch_stats: dict
+    class_names: Optional[Sequence[str]] = None
+    batch_size: int = 256
+    mesh: Optional[object] = None
+    _forward: object = field(default=None, repr=False)
+    _batch_sharding: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+        cfg = self.model.config
+        out_size = cfg.image_size
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        if self.mesh is not None:
+            from irp_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
+                                               replicated)
+            n_data = self.mesh.shape[DATA_AXIS]
+            # full batches must split evenly over the data axis
+            self.batch_size = max(self.batch_size // n_data, 1) * n_data
+            rep = replicated(self.mesh)
+            place = lambda t: jax.device_put(t, rep)  # noqa: E731
+            self.params = jax.tree_util.tree_map(place, self.params)
+            self.batch_stats = jax.tree_util.tree_map(place, self.batch_stats)
+            self._batch_sharding = batch_sharding(self.mesh)
+
+        apply_fn = self.model.apply
+
+        @jax.jit
+        def forward(params, batch_stats, images_u8):
+            x = eval_preprocess_batch(images_u8, out_size, dtype,
+                                      IMAGENET_MEAN, IMAGENET_STD)
+            logits = apply_fn({"params": params, "batch_stats": batch_stats},
+                              x, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._forward = forward
+
+    @property
+    def num_classes(self) -> int:
+        return self.model.config.num_classes
+
+    def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
+        """(N, cache, cache, 3) uint8 -> (N, num_classes) float32 softmax.
+
+        N is arbitrary: the tail batch is padded to the fixed batch shape
+        (single compiled program) and the pad rows are dropped.
+        """
+        import jax
+
+        images_u8 = np.asarray(images_u8, np.uint8)
+        if images_u8.ndim != 4:
+            raise ValueError(f"expected (N,H,W,3) uint8, got {images_u8.shape}")
+        n = images_u8.shape[0]
+        if n == 0:
+            return np.zeros((0, self.num_classes), np.float32)
+        bsz = self.batch_size
+        out = []
+        for start in range(0, n, bsz):
+            chunk = images_u8[start:start + bsz]
+            if chunk.shape[0] < bsz:  # pad the tail to the compiled shape
+                pad = np.broadcast_to(chunk[-1:],
+                                      (bsz - chunk.shape[0],) + chunk.shape[1:])
+                chunk = np.concatenate([chunk, pad], axis=0)
+            if self._batch_sharding is not None:
+                chunk = jax.device_put(chunk, self._batch_sharding)
+            out.append(np.asarray(
+                self._forward(self.params, self.batch_stats, chunk)))
+        return np.concatenate(out, axis=0)[:n]
+
+    def predict(self, images_u8: np.ndarray,
+                keys: Optional[List[str]] = None) -> PredictionResult:
+        probs = self.predict_probs(images_u8)
+        return PredictionResult(labels=np.argmax(probs, axis=1).astype(np.int32),
+                                probs=probs, class_names=self.class_names,
+                                keys=keys)
+
+    def predict_paths(self, paths: Sequence[str],
+                      decoder: str = "auto") -> PredictionResult:
+        """Score image files (JPEG/PNG/...).
+
+        ``decoder='auto'`` uses the native C++ batch JPEG decoder when
+        built (native/decode.cpp), falling back to PIL; 'pil' forces PIL.
+        Decode geometry is the cache contract (256x256 bilinear,
+        data/pipeline.py::decode_to_rgb256) so files round-trip exactly
+        like cached training data.
+        """
+        from irp_tpu.data.pipeline import CACHE_SIZE, decode_to_rgb256
+
+        paths = list(paths)
+        images = np.zeros((len(paths), CACHE_SIZE, CACHE_SIZE, 3), np.uint8)
+        todo = list(range(len(paths)))
+        if decoder == "auto":
+            from irp_tpu.data.jpeg import (decode_batch_native,
+                                           native_decoder_available)
+            jpeg_idx = [i for i in todo
+                        if paths[i].lower().endswith((".jpg", ".jpeg"))]
+            if jpeg_idx and native_decoder_available():
+                blobs = []
+                for i in jpeg_idx:
+                    with open(paths[i], "rb") as f:
+                        blobs.append(f.read())
+                decoded, ok = decode_batch_native(blobs, CACHE_SIZE)
+                done = set()
+                for j, i in enumerate(jpeg_idx):
+                    if ok[j]:
+                        images[i] = decoded[j]
+                        done.add(i)
+                todo = [i for i in todo if i not in done]
+        for i in todo:  # PIL path: non-JPEGs, native misses, decoder='pil'
+            with open(paths[i], "rb") as f:
+                images[i] = decode_to_rgb256(f.read())
+        return self.predict(images, keys=paths)
+
+    def predict_shards(self, shard_paths: Sequence[str] | str,
+                       decoder: str = "auto"
+                       ) -> Tuple[PredictionResult, Optional[np.ndarray]]:
+        """Bulk-score a WebDataset shard set (e.g. re-score after retrain).
+
+        Returns (result, true_labels) — true_labels is the shards' ``cls``
+        stream when present (for accuracy checks), else None.
+        """
+        from irp_tpu.data.jpeg import (decode_batch_native,
+                                       native_decoder_available)
+        from irp_tpu.data.pipeline import CACHE_SIZE, decode_to_rgb256
+        from irp_tpu.data.tar import iter_samples
+
+        if isinstance(shard_paths, str):  # accept a glob pattern
+            import glob as globmod
+            expanded = sorted(globmod.glob(shard_paths))
+            shard_paths = expanded if expanded else shard_paths
+
+        use_native = decoder == "auto" and native_decoder_available()
+        images, keys, truths = [], [], []
+        have_truth = True
+        pending: List[bytes] = []
+        for sample in iter_samples(shard_paths):
+            jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
+            if jpg is None:
+                continue
+            keys.append(str(sample.get("__key__", "")))
+            cls = sample.get("cls")
+            if cls is None:
+                have_truth = False
+            else:
+                truths.append(int(cls))
+            if use_native:
+                pending.append(jpg)
+            else:
+                images.append(decode_to_rgb256(jpg))
+        if use_native and pending:
+            decoded, ok = decode_batch_native(pending, CACHE_SIZE)
+            for j, blob in enumerate(pending):
+                images.append(decoded[j] if ok[j]
+                              else decode_to_rgb256(blob))
+        if not images:
+            empty = PredictionResult(np.zeros(0, np.int32),
+                                     np.zeros((0, self.num_classes),
+                                              np.float32),
+                                     self.class_names, [])
+            return empty, None
+        result = self.predict(np.stack(images), keys=keys)
+        truth = (np.asarray(truths, np.int32)
+                 if have_truth and len(truths) == len(keys) else None)
+        return result, truth
+
+
+def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
+                   cfg: Optional[ModelConfig] = None, batch_size: int = 256,
+                   mesh=None) -> Predictor:
+    """Predictor from in-memory variables {'params':..., 'batch_stats':...}."""
+    from irp_tpu.models.classifier import get_classifier
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if cfg is None:
+        cfg = infer_model_config(params)
+    model = get_classifier(cfg)
+    return Predictor(model=model, params=params, batch_stats=batch_stats,
+                     class_names=class_names, batch_size=batch_size, mesh=mesh)
+
+
+def load_predictor(weights_path: str,
+                   class_names: Optional[Sequence[str]] = None,
+                   cfg: Optional[ModelConfig] = None,
+                   batch_size: int = 256, mesh=None) -> Predictor:
+    """Predictor from a weights artifact.
+
+    ``.npz`` = save_weights_npz output (the final trainer's canonical
+    artifact); ``.pt/.pth`` = a torch state_dict — ours or the reference
+    stack's fine-tuned AnimalClassifier (head keys ``classifier.1/4``,
+    reference functions/model.py:30-36).  A backbone-only torchvision
+    checkpoint is rejected: a randomly-initialized head must never serve.
+    """
+    ext = os.path.splitext(weights_path)[1].lower()
+    if ext == ".npz":
+        from irp_tpu.train.checkpoint import load_weights_npz
+        params, batch_stats = load_weights_npz(weights_path)
+        variables = {"params": params, "batch_stats": batch_stats}
+    elif ext in (".pth", ".pt"):
+        from irp_tpu.models.convert import load_torch_checkpoint
+        variables = load_torch_checkpoint(weights_path)
+    else:
+        raise ValueError(f"unsupported weights format: {weights_path} "
+                         "(expected .npz or .pth)")
+    if "head_dense2" not in variables["params"]:
+        raise ValueError(
+            f"{weights_path} has no classifier head — it is a backbone-only "
+            "checkpoint; serve a trained final-weights artifact instead")
+    return make_predictor(variables, class_names=class_names, cfg=cfg,
+                          batch_size=batch_size, mesh=mesh)
+
+
+def load_class_names(spec: str) -> List[str]:
+    """Class names from a JSON file (list, or dict with 'class_names') or a
+    comma-separated literal."""
+    if os.path.exists(spec):
+        with open(spec) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            data = data.get("class_names", data.get("classes"))
+        if not isinstance(data, list):
+            raise ValueError(f"{spec}: expected a JSON list of class names")
+        return [str(x) for x in data]
+    return [s.strip() for s in spec.split(",") if s.strip()]

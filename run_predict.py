@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Batch prediction / serving CLI: score images with a trained model.
+
+The reference has no deployment entry point — its trained model is only
+run inside the final-eval notebook cell (reference functions/final.py:27-63).
+This CLI is the missing production path: load a final-weights artifact
+(.npz or torch .pth), compile one padded-batch TPU forward, and score
+image files or WebDataset shards at full chip throughput.
+
+  # score a directory of images, top-3 per image, CSV out
+  python run_predict.py --weights final_weights.npz \
+      --images './photos/**/*.jpg' --classes classes.json \
+      --topk 3 --out preds.csv
+
+  # bulk re-score a shard set (prints accuracy when shards carry labels)
+  python run_predict.py --weights final_weights.npz \
+      --shards './data/webdataset/test-*.tar'
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _collect_image_paths(pattern: str):
+    if os.path.isdir(pattern):
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".webp")
+        return sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(pattern)
+            for f in files if f.lower().endswith(exts))
+    return sorted(glob.glob(pattern, recursive=True))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", required=True,
+                   help="final-weights artifact (.npz or torch .pth)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--images", help="image file glob or directory")
+    src.add_argument("--shards", help="WebDataset shard glob")
+    p.add_argument("--classes", default=None,
+                   help="class names: JSON file or comma-separated list")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--out", default=None, help="CSV output path")
+    p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    from irp_tpu.infer import load_class_names, load_predictor
+
+    class_names = load_class_names(args.classes) if args.classes else None
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from irp_tpu.config import MeshConfig
+        from irp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig())
+
+    predictor = load_predictor(args.weights, class_names=class_names,
+                               batch_size=args.batch_size, mesh=mesh)
+    if (class_names is not None
+            and len(class_names) != predictor.num_classes):
+        print(f"error: {len(class_names)} class names for a "
+              f"{predictor.num_classes}-class model", file=sys.stderr)
+        return 2
+
+    truth = None
+    t0 = time.perf_counter()
+    if args.images:
+        paths = _collect_image_paths(args.images)
+        if not paths:
+            print(f"error: no images match {args.images}", file=sys.stderr)
+            return 2
+        result = predictor.predict_paths(paths, decoder=args.decoder)
+    else:
+        result, truth = predictor.predict_shards(args.shards,
+                                                 decoder=args.decoder)
+        if len(result) == 0:
+            print(f"error: no samples in {args.shards}", file=sys.stderr)
+            return 2
+    elapsed = time.perf_counter() - t0
+
+    k = max(1, args.topk)
+    top_idx, top_prob = result.topk(k)
+    names = (result.class_names if result.class_names is not None
+             else [str(i) for i in range(predictor.num_classes)])
+
+    rows = []
+    for i, key in enumerate(result.keys or range(len(result))):
+        row = {"key": key, "label": int(result.labels[i]),
+               "label_name": names[result.labels[i]],
+               "prob": f"{result.probs[i, result.labels[i]]:.6f}"}
+        for j in range(k):
+            row[f"top{j + 1}"] = names[top_idx[i, j]]
+            row[f"top{j + 1}_prob"] = f"{top_prob[i, j]:.6f}"
+        rows.append(row)
+
+    if args.out:
+        with open(args.out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+        print(f"wrote {len(rows)} predictions to {args.out}")
+    else:
+        for row in rows[:20]:
+            print(f"{row['key']}: {row['label_name']} ({row['prob']})")
+        if len(rows) > 20:
+            print(f"... {len(rows) - 20} more (use --out for the full set)")
+
+    summary = {"n": len(rows), "elapsed_s": round(elapsed, 3),
+               "imgs_per_sec": round(len(rows) / max(elapsed, 1e-9), 1)}
+    if truth is not None:
+        summary["accuracy"] = round(
+            float(np.mean(result.labels == truth)), 4)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,225 @@
+"""Inference/serving path (irp_tpu/infer.py, run_predict.py).
+
+The reference has no deployment story (predictions only inside final-eval,
+reference functions/final.py:27-63) — these tests lock the net-new serving
+contract: artifact loading with architecture inference, padded fixed-shape
+batching, eval-parity preprocessing, data-parallel equivalence, CLI e2e.
+"""
+
+import csv
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.models.classifier import init_classifier
+
+TINY = ModelConfig(depth=18, num_classes=3, image_size=32, hidden_dim=16,
+                   compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                       image_size=32)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def images48():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (5, 48, 48, 3), dtype=np.uint8)
+
+
+def _direct_probs(model, variables, images_u8):
+    import jax.numpy as jnp
+
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    x = eval_preprocess_batch(images_u8, 32, jnp.float32)
+    logits = model.apply(variables, x, train=False)
+    return np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+
+
+def test_predict_matches_direct_forward(tiny_model, images48):
+    from irp_tpu.infer import make_predictor
+
+    model, variables = tiny_model
+    pred = make_predictor(variables, cfg=TINY, batch_size=8)
+    probs = pred.predict_probs(images48)
+    assert probs.shape == (5, 3)
+    np.testing.assert_allclose(probs, _direct_probs(model, variables,
+                                                    images48),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_padding_and_batch_size_invariance(tiny_model, images48):
+    from irp_tpu.infer import make_predictor
+
+    _, variables = tiny_model
+    ref = make_predictor(variables, cfg=TINY,
+                         batch_size=5).predict_probs(images48)
+    for bsz in (2, 4, 8):
+        got = make_predictor(variables, cfg=TINY,
+                             batch_size=bsz).predict_probs(images48)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # empty request
+    empty = make_predictor(variables, cfg=TINY, batch_size=4).predict_probs(
+        np.zeros((0, 48, 48, 3), np.uint8))
+    assert empty.shape == (0, 3)
+
+
+def test_infer_model_config_from_tree(tiny_model):
+    from irp_tpu.infer import infer_model_config
+
+    _, variables = tiny_model
+    cfg = infer_model_config(variables["params"], image_size=32,
+                             compute_dtype="float32")
+    assert (cfg.depth, cfg.num_classes, cfg.hidden_dim) == (18, 3, 16)
+
+
+def test_npz_roundtrip(tiny_model, images48, tmp_path):
+    from irp_tpu.infer import load_predictor, make_predictor
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    model, variables = tiny_model
+    path = save_weights_npz(str(tmp_path / "w.npz"), variables["params"],
+                            variables["batch_stats"])
+    # architecture inferred from the tree; image_size comes from cfg
+    pred = load_predictor(path, cfg=TINY, class_names=["a", "b", "c"],
+                          batch_size=4)
+    result = pred.predict(images48)
+    np.testing.assert_allclose(result.probs,
+                               _direct_probs(model, variables, images48),
+                               rtol=1e-5, atol=1e-6)
+    assert result.label_names() == [["a", "b", "c"][i]
+                                    for i in result.labels]
+    idx, prob = result.topk(2)
+    assert idx.shape == (5, 2)
+    assert (prob[:, 0] >= prob[:, 1]).all()
+
+
+def test_pth_roundtrip(tiny_model, images48, tmp_path):
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.train.checkpoint import export_torch_pth
+
+    model, variables = tiny_model
+    path = export_torch_pth(str(tmp_path / "w.pth"), variables["params"],
+                            variables["batch_stats"], depth=18)
+    pred = load_predictor(path, cfg=TINY, batch_size=8)
+    np.testing.assert_allclose(pred.predict_probs(images48),
+                               _direct_probs(model, variables, images48),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_backbone_only_checkpoint_rejected(tiny_model, tmp_path):
+    import torch
+
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.train.checkpoint import export_torch_pth
+
+    _, variables = tiny_model
+    path = export_torch_pth(str(tmp_path / "bb.pth"), variables["params"],
+                            variables["batch_stats"], depth=18)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    backbone_only = {k: v for k, v in sd.items()
+                     if not k.startswith("classifier.")}
+    torch.save(backbone_only, tmp_path / "bb_only.pth")
+    with pytest.raises(ValueError, match="backbone-only"):
+        load_predictor(str(tmp_path / "bb_only.pth"), cfg=TINY)
+
+
+def test_data_parallel_matches_single_device(tiny_model, images48):
+    from irp_tpu.config import MeshConfig
+    from irp_tpu.infer import make_predictor
+    from irp_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_model
+    mesh = make_mesh(MeshConfig())
+    pred = make_predictor(variables, cfg=TINY, batch_size=8, mesh=mesh)
+    assert pred.batch_size % mesh.shape["data"] == 0
+    np.testing.assert_allclose(pred.predict_probs(images48),
+                               _direct_probs(model, variables, images48),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predict_shards(tiny_model, tmp_path):
+    from irp_tpu.data.tar import TarWriter
+    from irp_tpu.infer import make_predictor
+
+    rng = np.random.default_rng(7)
+    shard = str(tmp_path / "train-000000.tar")
+    with TarWriter(shard) as w:
+        for i in range(6):
+            arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            import io
+
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.write({"__key__": f"s{i:03d}", "jpg": buf.getvalue(),
+                     "cls": i % 3})
+
+    _, variables = tiny_model
+    pred = make_predictor(variables, cfg=TINY, batch_size=4)
+    result, truth = pred.predict_shards(str(tmp_path / "train-*.tar"))
+    assert len(result) == 6
+    assert result.keys == [f"s{i:03d}" for i in range(6)]
+    assert truth is not None and truth.tolist() == [0, 1, 2, 0, 1, 2]
+    assert result.probs.shape == (6, 3)
+
+
+def test_run_predict_cli(tiny_model, tmp_path, capsys):
+    import run_predict
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    _, variables = tiny_model
+    weights = save_weights_npz(str(tmp_path / "w.npz"),
+                               variables["params"],
+                               variables["batch_stats"])
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"x{i}.jpg")
+    classes = tmp_path / "classes.json"
+    classes.write_text(json.dumps(["cat", "dog", "fox"]))
+    out = str(tmp_path / "preds.csv")
+
+    # NOTE: the CLI infers architecture from the tree; tiny model's
+    # image_size=32 is not recoverable from weights, but a 224 crop of a
+    # 256 decode still runs the same tree — only geometry differs, which
+    # is fine for this glue test.
+    rc = run_predict.main(["--weights", weights, "--images", str(img_dir),
+                           "--classes", str(classes), "--topk", "2",
+                           "--out", out, "--cpu", "--batch-size", "4"])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert {r["label_name"] for r in rows} <= {"cat", "dog", "fox"}
+    assert all(float(r["top1_prob"]) >= float(r["top2_prob"]) for r in rows)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 3 and summary["imgs_per_sec"] > 0
+
+
+def test_run_predict_cli_class_count_mismatch(tiny_model, tmp_path, capsys):
+    import run_predict
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    _, variables = tiny_model
+    weights = save_weights_npz(str(tmp_path / "w.npz"),
+                               variables["params"],
+                               variables["batch_stats"])
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(img_dir / "a.jpg")
+    rc = run_predict.main(["--weights", weights, "--images", str(img_dir),
+                           "--classes", "a,b", "--cpu"])
+    assert rc == 2
+    assert "class names" in capsys.readouterr().err
