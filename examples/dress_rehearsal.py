@@ -177,14 +177,28 @@ def main(argv=None):
     n_test_pc = max(int(args.per_class * args.test_frac), 1)
     n_train_pc = args.per_class - n_test_pc
     corpus_marker = os.path.join(shard_dir, "corpus.complete")
+    # the marker records the scale the corpus was generated at: a work
+    # dir reused across --tiny/full runs must regenerate, never silently
+    # train the "full-scale" rehearsal on a stale tiny corpus
+    corpus_spec = json.dumps({
+        "classes": args.classes, "train_pc": n_train_pc,
+        "test_pc": n_test_pc, "samples_per_shard": args.samples_per_shard,
+        "cache_size": args.cache_size}, sort_keys=True)
     with stage("corpus"):
         # a bare train-*.tar glob is NOT proof of a complete corpus: a run
         # killed mid-generation leaves train shards but no test shards (or
         # a truncated last tar) — only trust the end-of-generation marker,
         # and wipe any partial dir before regenerating
+        existing = None
         if os.path.exists(corpus_marker):
-            print("corpus exists, skipping generation")
+            with open(corpus_marker) as f:
+                existing = f.read().strip()
+        if existing == corpus_spec:
+            print("corpus exists at this scale, skipping generation")
         else:
+            if existing is not None:
+                print(f"corpus marker mismatch (found {existing!r}), "
+                      "regenerating")
             if os.path.isdir(shard_dir):
                 import shutil
 
@@ -198,7 +212,7 @@ def main(argv=None):
                 samples_per_shard=args.samples_per_shard, seed=1,
                 size=args.cache_size, prefix="test", hard=True)
             with open(corpus_marker, "w") as f:
-                f.write("complete\n")
+                f.write(corpus_spec + "\n")
     train_shards = sorted(glob.glob(os.path.join(shard_dir, "train-*.tar")))
     test_shards = sorted(glob.glob(os.path.join(shard_dir, "test-*.tar")))
 

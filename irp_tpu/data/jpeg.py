@@ -55,17 +55,23 @@ def native_decoder_available() -> bool:
 
 
 def decode_batch_native(jpegs: Sequence[bytes], out_size: int = 256,
-                        n_threads: int = 0):
+                        n_threads: int = 0, out=None):
     """Decode+resize a batch of JPEG byte strings.
 
     Returns (images (N,out,out,3) uint8, ok (N,) bool).  Raises if the
-    native library is unavailable.
+    native library is unavailable.  ``out`` (C-contiguous
+    (N,out,out,3) uint8) decodes in place — rows whose ``ok`` is False
+    are left untouched for the caller's fallback decoder.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder not built (make -C native)")
     n = len(jpegs)
-    out = np.zeros((n, out_size, out_size, 3), np.uint8)
+    if out is None:
+        out = np.zeros((n, out_size, out_size, 3), np.uint8)
+    elif (out.shape != (n, out_size, out_size, 3) or out.dtype != np.uint8
+          or not out.flags.c_contiguous):
+        raise ValueError("out must be C-contiguous (N,out,out,3) uint8")
     ok = np.zeros(n, np.int32)
     buf_ptrs = (ctypes.c_char_p * n)(*jpegs)
     sizes = (ctypes.c_long * n)(*[len(b) for b in jpegs])

@@ -46,6 +46,35 @@ def decode_to_rgb256(jpg_bytes: bytes, size: int = CACHE_SIZE) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def decode_blobs(blobs: Sequence[bytes], size: int = CACHE_SIZE,
+                 out: Optional[np.ndarray] = None,
+                 decoder: str = "auto") -> np.ndarray:
+    """Decode image byte strings to (N,size,size,3) uint8.
+
+    The shared decode-files-to-cache path (run_curation ingest,
+    infer.predict_paths/predict_shards): the native C++ batch decoder
+    handles the JPEG-decodable subset when built, with per-sample PIL
+    fallback for non-JPEGs and native misses.  ``out`` (preallocated
+    (N,size,size,3) uint8, e.g. a slice of a dataset-sized cache) avoids
+    a second full-batch allocation; ``decoder='pil'`` forces PIL.
+    """
+    n = len(blobs)
+    if out is None:
+        out = np.empty((n, size, size, 3), np.uint8)
+    use_native = decoder == "auto" and n > 0
+    if use_native:
+        from irp_tpu.data.jpeg import (decode_batch_native,
+                                       native_decoder_available)
+        use_native = native_decoder_available()
+    ok = None
+    if use_native:
+        _, ok = decode_batch_native(list(blobs), size, out=out)
+    for j in range(n):
+        if ok is None or not ok[j]:
+            out[j] = decode_to_rgb256(blobs[j], size)
+    return out
+
+
 def _fingerprint(shard_paths: Sequence[str]) -> str:
     h = hashlib.sha1()
     for p in sorted(shard_paths):

@@ -180,6 +180,13 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 # (one upload per sweep); the host subset is metadata-only
                 try:
                     hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
+                except ValueError:
+                    # tiny/imbalanced-data edge: some device holds ZERO
+                    # samples of this fold (pipeline.py select_fold) —
+                    # same class of edge as the local_count < bl guard
+                    # below; fall back to the per-fit upload (which
+                    # wrap-pads) for THIS fold, keep the pool for others
+                    hbm_view = None
                 except Exception as e:  # noqa: BLE001
                     if not _is_oom(e):
                         raise

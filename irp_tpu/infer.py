@@ -197,32 +197,14 @@ class Predictor:
         data/pipeline.py::decode_to_rgb256) so files round-trip exactly
         like cached training data.
         """
-        from irp_tpu.data.pipeline import CACHE_SIZE, decode_to_rgb256
+        from irp_tpu.data.pipeline import decode_blobs
 
         paths = list(paths)
-        images = np.zeros((len(paths), CACHE_SIZE, CACHE_SIZE, 3), np.uint8)
-        todo = list(range(len(paths)))
-        if decoder == "auto":
-            from irp_tpu.data.jpeg import (decode_batch_native,
-                                           native_decoder_available)
-            jpeg_idx = [i for i in todo
-                        if paths[i].lower().endswith((".jpg", ".jpeg"))]
-            if jpeg_idx and native_decoder_available():
-                blobs = []
-                for i in jpeg_idx:
-                    with open(paths[i], "rb") as f:
-                        blobs.append(f.read())
-                decoded, ok = decode_batch_native(blobs, CACHE_SIZE)
-                done = set()
-                for j, i in enumerate(jpeg_idx):
-                    if ok[j]:
-                        images[i] = decoded[j]
-                        done.add(i)
-                todo = [i for i in todo if i not in done]
-        for i in todo:  # PIL path: non-JPEGs, native misses, decoder='pil'
-            with open(paths[i], "rb") as f:
-                images[i] = decode_to_rgb256(f.read())
-        return self.predict(images, keys=paths)
+        blobs = []
+        for path in paths:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+        return self.predict(decode_blobs(blobs, decoder=decoder), keys=paths)
 
     def predict_shards(self, shard_paths: Sequence[str] | str,
                        decoder: str = "auto"
@@ -232,20 +214,18 @@ class Predictor:
         Returns (result, true_labels) — true_labels is the shards' ``cls``
         stream when present (for accuracy checks), else None.
         """
-        from irp_tpu.data.jpeg import (decode_batch_native,
-                                       native_decoder_available)
-        from irp_tpu.data.pipeline import CACHE_SIZE, decode_to_rgb256
+        from irp_tpu.data.pipeline import decode_blobs
         from irp_tpu.data.tar import iter_samples
 
-        if isinstance(shard_paths, str):  # accept a glob pattern
+        if isinstance(shard_paths, str) and any(c in shard_paths
+                                                for c in "*?["):
+            # a glob pattern; an unmatched one means zero samples (the
+            # caller's clean empty-result path), not a literal tar path
             import glob as globmod
-            expanded = sorted(globmod.glob(shard_paths))
-            shard_paths = expanded if expanded else shard_paths
+            shard_paths = sorted(globmod.glob(shard_paths))
 
-        use_native = decoder == "auto" and native_decoder_available()
-        images, keys, truths = [], [], []
+        blobs, keys, truths = [], [], []
         have_truth = True
-        pending: List[bytes] = []
         for sample in iter_samples(shard_paths):
             jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
             if jpg is None:
@@ -256,22 +236,15 @@ class Predictor:
                 have_truth = False
             else:
                 truths.append(int(cls))
-            if use_native:
-                pending.append(jpg)
-            else:
-                images.append(decode_to_rgb256(jpg))
-        if use_native and pending:
-            decoded, ok = decode_batch_native(pending, CACHE_SIZE)
-            for j, blob in enumerate(pending):
-                images.append(decoded[j] if ok[j]
-                              else decode_to_rgb256(blob))
-        if not images:
+            blobs.append(jpg)
+        if not blobs:
             empty = PredictionResult(np.zeros(0, np.int32),
                                      np.zeros((0, self.num_classes),
                                               np.float32),
                                      self.class_names, [])
             return empty, None
-        result = self.predict(np.stack(images), keys=keys)
+        result = self.predict(decode_blobs(blobs, decoder=decoder),
+                              keys=keys)
         truth = (np.asarray(truths, np.int32)
                  if have_truth and len(truths) == len(keys) else None)
         return result, truth

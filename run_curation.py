@@ -25,32 +25,23 @@ def load_image_dir_cache(info):
     (PIL per-sample fallback)."""
     import numpy as np
 
-    from irp_tpu.data.jpeg import (decode_batch_native,
-                                   native_decoder_available)
-    from irp_tpu.data.pipeline import CachedDataset, decode_to_rgb256
+    from irp_tpu.data.pipeline import CachedDataset, decode_blobs
 
     class_names = sorted(info)
     n_files = sum(len(v) for v in info.values())
     images = np.empty((n_files, 256, 256, 3), np.uint8)
     labels = np.empty(n_files, np.int32)
     paths = []
-    use_native = native_decoder_available()
     w = 0
     for ci, cls in enumerate(class_names):
         blobs = []
         for path in info[cls]:
             with open(path, "rb") as f:
                 blobs.append(f.read())
-        decoded, ok = (decode_batch_native(blobs, 256)
-                       if use_native and blobs else (None, None))
-        for j, path in enumerate(info[cls]):
-            if decoded is not None and ok[j]:
-                images[w] = decoded[j]
-            else:
-                images[w] = decode_to_rgb256(blobs[j])
-            labels[w] = ci
-            paths.append(path)
-            w += 1
+        decode_blobs(blobs, 256, out=images[w:w + len(blobs)])
+        labels[w:w + len(blobs)] = ci
+        paths.extend(info[cls])
+        w += len(blobs)
     return CachedDataset(images=images, labels=labels, keys=paths,
                          class_names=tuple(class_names))
 

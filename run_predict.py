@@ -102,7 +102,7 @@ def main(argv=None):
             return 2
     elapsed = time.perf_counter() - t0
 
-    k = max(1, args.topk)
+    k = min(max(1, args.topk), predictor.num_classes)
     top_idx, top_prob = result.topk(k)
     names = (result.class_names if result.class_names is not None
              else [str(i) for i in range(predictor.num_classes)])

@@ -224,3 +224,52 @@ def test_pool_oom_falls_back_to_per_fit_uploads(tmp_path, monkeypatch):
     trials = study.get_trials()
     assert len(trials) == 2
     assert study.best_value is not None and study.best_value > -float("inf")
+
+
+def test_pool_empty_device_fold_falls_back_per_fold(tmp_path, monkeypatch):
+    """select_fold raising ValueError (some device holds zero samples of a
+    fold — tiny/imbalanced shard layouts) must fall back to the per-fit
+    upload for THAT fold only: the trial completes and the pool stays
+    enabled for subsequent folds/trials (unlike the OOM path, which
+    disables it for the sweep)."""
+    from irp_tpu.config import HyperoptConfig, ModelConfig
+    from irp_tpu.data import pipeline
+    from irp_tpu.hyperopt.objective import HyperoptContext, quick_space
+    from irp_tpu.hyperopt.runner import run_kfold_optimization
+    from irp_tpu import tracking
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    meta = make_synthetic_shards(str(tmp_path / "s"), num_classes=2,
+                                 per_class=24, samples_per_shard=12,
+                                 seed=11, size=48)
+    info = analyze_webdataset(meta["shards"])
+    cached = build_cache(meta["shards"], info.class_names, size=48)
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+
+    calls = []
+    real_select = pipeline.HBMFoldPool.select_fold
+
+    def flaky_select_fold(self, shards):
+        calls.append(len(shards))
+        if len(calls) == 1:  # first fold of the first trial only
+            raise ValueError("a device holds no samples of this fold")
+        return real_select(self, shards)
+
+    monkeypatch.setattr(pipeline.HBMFoldPool, "select_fold",
+                        flaky_select_fold)
+    ctx = HyperoptContext(
+        cached=cached, info=info,
+        hcfg=HyperoptConfig(n_trials=2, k_folds=2, first_fold_min_acc=0.0,
+                            storage=str(tmp_path / "edge.db")),
+        model_base=ModelConfig(depth=18, num_classes=2, image_size=40,
+                               compute_dtype="float32"),
+        mesh=mesh, space_fn=quick_space,
+        train_samples_per_epoch=32, eval_samples=16)
+    study = run_kfold_optimization(ctx, n_trials=2, verbose=False)
+
+    assert len(calls) == 4, "pool must stay enabled after the edge fold"
+    assert ctx.reuse_hbm_pool is True
+    trials = study.get_trials()
+    assert len(trials) == 2
+    assert study.best_value is not None and study.best_value > -float("inf")
