@@ -54,6 +54,12 @@ run_stage() {  # name timeout_secs cmd...
         *)
             [ $rc -eq 0 ] && ok=true ;;
     esac
+    # Mirror every stage log into the repo tree regardless of outcome:
+    # the watcher may fire when no build session is alive, and /tmp never
+    # reaches the round's committed artifacts (the driver commits the
+    # repo working tree at round end).
+    mkdir -p /root/repo/artifacts/chip
+    cp -f "/tmp/chip/$name.log" "/root/repo/artifacts/chip/$name.log" || true
     if $ok; then
         touch "$marker"
         echo "$(stamp) stage $name OK (rc=$rc)"
@@ -80,5 +86,10 @@ run_stage curation      5400 python tools/bench_curation.py \
     --umap-n 26000 --tmp /tmp/chip/curation
 run_stage rehearsal     21600 python examples/dress_rehearsal.py \
     --work-dir /tmp/chip/rehearsal --resume
+
+# Rehearsal's structured result lives in its work dir; mirror it too.
+cp -f /tmp/chip/rehearsal/rehearsal_summary.json \
+    /root/repo/artifacts/chip/rehearsal_summary.json 2>/dev/null || true
+cp -f "$LOG" /root/repo/artifacts/chip/chip_session.log || true
 
 echo "== chip_session end $(stamp) =="
