@@ -180,12 +180,21 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 # (one upload per sweep); the host subset is metadata-only
                 try:
                     hbm_view = ctx.hbm_pool(mesh).select_fold(train_shards)
-                except ValueError:
+                except ValueError as e:
                     # tiny/imbalanced-data edge: some device holds ZERO
                     # samples of this fold (pipeline.py select_fold) —
                     # same class of edge as the local_count < bl guard
                     # below; fall back to the per-fit upload (which
-                    # wrap-pads) for THIS fold, keep the pool for others
+                    # wrap-pads) for THIS fold, keep the pool for others.
+                    # Loud: the pool stays resident while this fold also
+                    # uploads per-fit, and a swallowed unrelated
+                    # ValueError must stay diagnosable.
+                    import warnings
+
+                    warnings.warn(
+                        f"HBM fold pool: select_fold failed for fold "
+                        f"{fold_idx} ({e}); falling back to the per-fit "
+                        f"upload for this fold", stacklevel=2)
                     hbm_view = None
                 except Exception as e:  # noqa: BLE001
                     if not _is_oom(e):
@@ -242,6 +251,10 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                             f"epoch {epoch + 1}: val_acc {val_acc:.2f}%")
                 return False
 
+            # Pre-attempt lengths so a pool-OOM retry can drop this
+            # fold's partial epoch contributions (rare: OOM normally
+            # fires at compile/first step, before any epoch completes).
+            pre_lens = {ep: len(v) for ep, v in epoch_accuracies.items()}
             try:
                 result = fit(train_cached, val_cached, ctx.info, model_cfg,
                              train_cfg, mesh=mesh, logger=run,
@@ -250,9 +263,44 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
             except TrialPruned:
                 raise
             except Exception as e:  # noqa: BLE001 — OOM -> -inf like ref
-                if _is_oom(e):
+                if not _is_oom(e):
+                    raise
+                if not use_pool:
                     return float("-inf")
-                raise
+                # The sweep-wide pool (the FULL cache, device-resident) is
+                # the most likely memory hog when fit() itself OOMs:
+                # pool + eval set + params/moments/activations can exceed
+                # HBM even though the pool alone fit at build time.
+                # Scoring -inf here would repeat identically for EVERY
+                # trial while the legacy path — only (k-1)/k of the
+                # dataset resident — might complete them all.  Release
+                # the pool sweep-wide and retry this fold once.
+                import warnings
+
+                warnings.warn(
+                    f"fit() OOMed with the HBM fold pool resident ({e}); "
+                    "releasing the pool for the rest of the sweep and "
+                    "retrying this fold via the per-fit upload",
+                    stacklevel=2)
+                ctx.reuse_hbm_pool = False
+                use_pool = False
+                ctx.release_hbm_pool()
+                hbm_view = None
+                train_cached = ctx.cached.subset_by_shards(train_shards)
+                for ep, v in epoch_accuracies.items():
+                    del v[pre_lens.get(ep, 0):]
+                try:
+                    result = fit(train_cached, val_cached, ctx.info,
+                                 model_cfg, train_cfg, mesh=mesh,
+                                 logger=run, on_epoch_end=on_epoch_end,
+                                 mode=ctx.mode, verbose=ctx.verbose,
+                                 hbm_train=None)
+                except TrialPruned:
+                    raise
+                except Exception as e2:  # noqa: BLE001
+                    if _is_oom(e2):
+                        return float("-inf")
+                    raise
             best_val_acc = result.best_val_acc
 
             fold_accuracies.append(best_val_acc)

@@ -161,8 +161,18 @@ class Predictor:
         import jax
 
         images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim != 4:
+        if images_u8.ndim != 4 or images_u8.shape[-1] != 3:
             raise ValueError(f"expected (N,H,W,3) uint8, got {images_u8.shape}")
+        out_size = self.model.config.image_size
+        h, w = images_u8.shape[1:3]
+        if h < out_size or w < out_size:
+            # the center crop would slice with negative indices and feed
+            # the global-pool ResNet a silently-wrong tiny crop
+            raise ValueError(
+                f"images are {h}x{w} but the model's eval crop is "
+                f"{out_size}x{out_size}; supply sources at least that "
+                "large (the cache contract decodes to 256x256, "
+                "data/pipeline.py::decode_to_rgb256)")
         n = images_u8.shape[0]
         if n == 0:
             return np.zeros((0, self.num_classes), np.float32)
@@ -217,12 +227,21 @@ class Predictor:
         from irp_tpu.data.pipeline import decode_blobs
         from irp_tpu.data.tar import iter_samples
 
-        if isinstance(shard_paths, str) and any(c in shard_paths
-                                                for c in "*?["):
-            # a glob pattern; an unmatched one means zero samples (the
-            # caller's clean empty-result path), not a literal tar path
-            import glob as globmod
-            shard_paths = sorted(globmod.glob(shard_paths))
+        if isinstance(shard_paths, str):
+            import os
+
+            if os.path.exists(shard_paths):
+                # a literal path wins over glob interpretation: '[' is a
+                # legal filename char (run[3]/test-000.tar must not be
+                # character-class-globbed into an empty result)
+                shard_paths = [shard_paths]
+            elif any(c in shard_paths for c in "*?["):
+                # a glob pattern; an unmatched one means zero samples (the
+                # caller's clean empty-result path), not a literal tar path
+                import glob as globmod
+                shard_paths = sorted(globmod.glob(shard_paths))
+            else:
+                shard_paths = [shard_paths]
 
         blobs, keys, truths = [], [], []
         have_truth = True
@@ -252,14 +271,20 @@ class Predictor:
 
 def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None, batch_size: int = 256,
-                   mesh=None) -> Predictor:
-    """Predictor from in-memory variables {'params':..., 'batch_stats':...}."""
+                   mesh=None, image_size: Optional[int] = None) -> Predictor:
+    """Predictor from in-memory variables {'params':..., 'batch_stats':...}.
+
+    ``image_size`` sets the eval crop when ``cfg`` is inferred from the
+    weight tree (the tree itself cannot encode it: the global-pool ResNet
+    accepts any spatial size, so a mismatch degrades silently instead of
+    erroring).  Ignored when an explicit ``cfg`` is given.
+    """
     from irp_tpu.models.classifier import get_classifier
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if cfg is None:
-        cfg = infer_model_config(params)
+        cfg = infer_model_config(params, image_size=image_size or 224)
     model = get_classifier(cfg)
     return Predictor(model=model, params=params, batch_stats=batch_stats,
                      class_names=class_names, batch_size=batch_size, mesh=mesh)
@@ -268,7 +293,8 @@ def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
 def load_predictor(weights_path: str,
                    class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None,
-                   batch_size: int = 256, mesh=None) -> Predictor:
+                   batch_size: int = 256, mesh=None,
+                   image_size: Optional[int] = None) -> Predictor:
     """Predictor from a weights artifact.
 
     ``.npz`` = save_weights_npz output (the final trainer's canonical
@@ -276,12 +302,21 @@ def load_predictor(weights_path: str,
     stack's fine-tuned AnimalClassifier (head keys ``classifier.1/4``,
     reference functions/model.py:30-36).  A backbone-only torchvision
     checkpoint is rejected: a randomly-initialized head must never serve.
+
+    The eval crop size comes from (highest wins): explicit ``cfg``, the
+    ``image_size`` argument, the npz artifact's embedded metadata (written
+    by the final trainer since the image_size field was added), then 224.
+    Models trained at a non-default image_size are therefore served with
+    the right preprocessing automatically from their own artifact.
     """
     ext = os.path.splitext(weights_path)[1].lower()
     if ext == ".npz":
-        from irp_tpu.train.checkpoint import load_weights_npz
+        from irp_tpu.train.checkpoint import load_weights_meta, load_weights_npz
         params, batch_stats = load_weights_npz(weights_path)
         variables = {"params": params, "batch_stats": batch_stats}
+        if image_size is None:
+            meta_size = load_weights_meta(weights_path).get("image_size")
+            image_size = int(meta_size) if meta_size is not None else None
     elif ext in (".pth", ".pt"):
         from irp_tpu.models.convert import load_torch_checkpoint
         variables = load_torch_checkpoint(weights_path)
@@ -293,7 +328,8 @@ def load_predictor(weights_path: str,
             f"{weights_path} has no classifier head — it is a backbone-only "
             "checkpoint; serve a trained final-weights artifact instead")
     return make_predictor(variables, class_names=class_names, cfg=cfg,
-                          batch_size=batch_size, mesh=mesh)
+                          batch_size=batch_size, mesh=mesh,
+                          image_size=image_size)
 
 
 def load_class_names(spec: str) -> List[str]:

@@ -17,14 +17,23 @@ import jax
 import numpy as np
 
 
-def save_weights_npz(path: str, params, batch_stats) -> str:
-    """Flat npz of all weights (portable, no orbax needed)."""
+def save_weights_npz(path: str, params, batch_stats,
+                     meta: Optional[dict] = None) -> str:
+    """Flat npz of all weights (portable, no orbax needed).
+
+    ``meta`` (scalars/small arrays, e.g. ``{"image_size": 224}``) rides
+    along under reserved ``__meta__/`` keys so the artifact is
+    self-describing: the serving path (infer.py::load_predictor) recovers
+    the training-time eval geometry without the caller re-stating it.
+    """
     flat = {}
     for coll, tree in (("params", params), ("batch_stats", batch_stats)):
         for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = coll + "/" + "/".join(getattr(p, "key", str(p))
                                         for p in kp)
             flat[key] = np.asarray(leaf)
+    for k, v in (meta or {}).items():
+        flat["__meta__/" + k] = np.asarray(v)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
     return path
@@ -36,12 +45,26 @@ def load_weights_npz(path: str):
     out = {"params": {}, "batch_stats": {}}
     for key in data.files:
         coll, rest = key.split("/", 1)
+        if coll == "__meta__":
+            continue  # load_weights_meta's domain
         node = out[coll]
         parts = rest.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
     return out["params"], out["batch_stats"]
+
+
+def load_weights_meta(path: str) -> dict:
+    """The ``meta`` dict a save_weights_npz artifact was written with
+    (empty for pre-metadata artifacts — every weight key still loads)."""
+    data = np.load(path)
+    out = {}
+    for key in data.files:
+        if key.startswith("__meta__/"):
+            v = data[key]
+            out[key.split("/", 1)[1]] = v.item() if v.ndim == 0 else v
+    return out
 
 
 def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:

@@ -164,6 +164,10 @@ def train_final_model(study, train_cached: CachedDataset,
                         "mode": mode,
                         "bn_stats_mode": model_cfg.bn_stats_mode})
 
+        # image_size rides in every npz artifact so the serving path
+        # preprocesses with the training-time eval geometry
+        # (infer.py::load_predictor)
+        npz_meta = {"image_size": model_cfg.image_size}
         on_epoch_end = None
         restore_from, start_epoch = None, 0
         if resume and not checkpoint_dir:
@@ -185,7 +189,7 @@ def train_final_model(study, train_cached: CachedDataset,
                     save_weights_npz(
                         os.path.join(checkpoint_dir,
                                      f"checkpoint_epoch_{epoch:03d}.npz"),
-                        state.params, state.batch_stats)
+                        state.params, state.batch_stats, meta=npz_meta)
                     save_checkpoint(checkpoint_dir, state, step=epoch)
                 return False
 
@@ -198,7 +202,7 @@ def train_final_model(study, train_cached: CachedDataset,
         artifact_dir = tempfile.mkdtemp(prefix="irp_final_")
         weights_path = save_weights_npz(
             os.path.join(artifact_dir, "final_model.npz"),
-            state.params, state.batch_stats)
+            state.params, state.batch_stats, meta=npz_meta)
         run.log_artifact(weights_path)
         try:
             pth = export_torch_pth(
@@ -210,7 +214,8 @@ def train_final_model(study, train_cached: CachedDataset,
         if checkpoint_dir:
             save_weights_npz(os.path.join(checkpoint_dir,
                                           "final_model.npz"),
-                             state.params, state.batch_stats)
+                             state.params, state.batch_stats,
+                             meta=npz_meta)
 
         if verbose:
             print("\nEvaluating final model on test set...")

@@ -227,7 +227,11 @@ int irp_decode_resize_batch(const uint8_t** jpegs, const long* sizes, int n,
         }
         ok[i] = 1;
       } else {
-        std::memset(dst, 0, img_bytes);
+        // Leave the failed row's bytes untouched: the Python contract
+        // (jpeg.py::decode_batch_native) lets callers pre-fill `out`
+        // with fallback pixels and overwrite only decodable rows.  The
+        // out=None path hands us a zero-initialized array, so fresh
+        // buffers still read as black for failed rows.
         ok[i] = 0;
         failures.fetch_add(1);
       }

@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--classes", default=None,
                    help="class names: JSON file or comma-separated list")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--image-size", type=int, default=None,
+                   help="eval crop size; default = the npz artifact's "
+                        "embedded training-time value, else 224 (models "
+                        "trained at a non-default size need this for "
+                        ".pth / pre-metadata artifacts)")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--out", default=None, help="CSV output path")
     p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
@@ -79,7 +84,8 @@ def main(argv=None):
         mesh = make_mesh(MeshConfig())
 
     predictor = load_predictor(args.weights, class_names=class_names,
-                               batch_size=args.batch_size, mesh=mesh)
+                               batch_size=args.batch_size, mesh=mesh,
+                               image_size=args.image_size)
     if (class_names is not None
             and len(class_names) != predictor.num_classes):
         print(f"error: {len(class_names)} class names for a "

@@ -273,3 +273,61 @@ def test_pool_empty_device_fold_falls_back_per_fold(tmp_path, monkeypatch):
     trials = study.get_trials()
     assert len(trials) == 2
     assert study.best_value is not None and study.best_value > -float("inf")
+
+
+def test_fit_oom_with_pool_releases_and_retries(tmp_path, monkeypatch):
+    """An OOM raised INSIDE fit() while the pool is resident must not score
+    the trial -inf outright: pool + eval set + params/activations is the
+    sweep's memory high-water mark, so the objective releases the pool
+    sweep-wide and retries the fold on the legacy per-fit upload (which
+    holds only (k-1)/k of the dataset).  Only a second, pool-free OOM means
+    the trial itself cannot fit -> -inf (reference hyperopt.py:313-319)."""
+    from irp_tpu.config import HyperoptConfig, ModelConfig
+    from irp_tpu.hyperopt import objective as objective_mod
+    from irp_tpu.hyperopt.objective import HyperoptContext, quick_space
+    from irp_tpu.hyperopt.runner import run_kfold_optimization
+    from irp_tpu import tracking
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    meta = make_synthetic_shards(str(tmp_path / "s"), num_classes=2,
+                                 per_class=24, samples_per_shard=12,
+                                 seed=13, size=48)
+    info = analyze_webdataset(meta["shards"])
+    cached = build_cache(meta["shards"], info.class_names, size=48)
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+
+    real_fit = objective_mod.fit
+    calls = []
+
+    def oom_first_pooled_fit(*args, **kwargs):
+        calls.append(kwargs.get("hbm_train") is not None)
+        if len(calls) == 1:
+            assert kwargs.get("hbm_train") is not None, \
+                "first fold-fit of the sweep should ride the pool"
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 999 bytes")
+        return real_fit(*args, **kwargs)
+
+    monkeypatch.setattr(objective_mod, "fit", oom_first_pooled_fit)
+    ctx = HyperoptContext(
+        cached=cached, info=info,
+        hcfg=HyperoptConfig(n_trials=2, k_folds=2, first_fold_min_acc=0.0,
+                            storage=str(tmp_path / "fitoom.db")),
+        model_base=ModelConfig(depth=18, num_classes=2, image_size=40,
+                               compute_dtype="float32"),
+        mesh=mesh, space_fn=quick_space,
+        train_samples_per_epoch=32, eval_samples=16)
+    with pytest.warns(UserWarning, match="releasing the pool"):
+        study = run_kfold_optimization(ctx, n_trials=2, verbose=False)
+
+    assert ctx.reuse_hbm_pool is False
+    assert ctx._hbm_pool is None, "fit-OOM fallback must release the pool"
+    # retry + remaining folds/trials all ran WITHOUT the pool
+    assert calls[0] is True and all(c is False for c in calls[1:])
+    trials = study.get_trials()
+    assert len(trials) == 2
+    assert study.best_value is not None and study.best_value > -float("inf")
+    for t in trials:
+        assert t.value > -float("inf"), \
+            "trials must complete on the legacy path after the pool OOM"

@@ -173,6 +173,83 @@ def test_predict_shards(tiny_model, tmp_path):
     assert result.probs.shape == (6, 3)
 
 
+def test_npz_meta_image_size_roundtrip(tiny_model, images48, tmp_path):
+    """The final trainer embeds image_size in the npz artifact; the serving
+    path must recover it so a model trained at a non-default crop is served
+    with the right preprocessing WITHOUT the caller re-stating it."""
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.train.checkpoint import (load_weights_meta,
+                                          save_weights_npz)
+
+    model, variables = tiny_model
+    path = save_weights_npz(str(tmp_path / "w.npz"), variables["params"],
+                            variables["batch_stats"],
+                            meta={"image_size": 32})
+    assert load_weights_meta(path) == {"image_size": 32}
+    # no cfg, no image_size arg: the artifact is self-describing
+    pred = load_predictor(path, batch_size=4)
+    assert pred.model.config.image_size == 32
+    # loose tolerance: the inferred config computes in bfloat16 while the
+    # direct forward is float32 — geometry (the 32-crop), not dtype
+    # parity, is what this asserts
+    np.testing.assert_allclose(pred.predict_probs(images48),
+                               _direct_probs(model, variables, images48),
+                               rtol=3e-2, atol=5e-3)
+    # explicit argument outranks the embedded metadata
+    pred48 = load_predictor(path, batch_size=4, image_size=48)
+    assert pred48.model.config.image_size == 48
+    # pre-metadata artifacts still load (meta absent -> empty dict)
+    legacy = save_weights_npz(str(tmp_path / "legacy.npz"),
+                              variables["params"],
+                              variables["batch_stats"])
+    assert load_weights_meta(legacy) == {}
+    assert load_predictor(legacy).model.config.image_size == 224
+
+
+def test_predict_rejects_undersized_images(tiny_model):
+    """Sources smaller than the eval crop must error loudly — the center
+    crop would otherwise slice with negative indices and feed the
+    global-pool ResNet a silently-wrong tiny crop."""
+    from irp_tpu.infer import make_predictor
+
+    _, variables = tiny_model
+    pred = make_predictor(variables, cfg=TINY, batch_size=4)
+    small = np.zeros((2, 16, 48, 3), np.uint8)
+    with pytest.raises(ValueError, match="eval crop"):
+        pred.predict_probs(small)
+    with pytest.raises(ValueError, match=r"\(N,H,W,3\)"):
+        pred.predict_probs(np.zeros((2, 48, 48, 4), np.uint8))
+
+
+def test_predict_shards_literal_path_with_glob_chars(tiny_model, tmp_path):
+    """'[' is a legal filename char: an existing literal path must win over
+    glob interpretation (run[3]/test-000.tar must not be character-class
+    -globbed into an empty result)."""
+    import io
+
+    from irp_tpu.data.tar import TarWriter
+    from irp_tpu.infer import make_predictor
+
+    d = tmp_path / "run[3]"
+    d.mkdir()
+    shard = str(d / "test-000000.tar")
+    rng = np.random.default_rng(11)
+    with TarWriter(shard) as w:
+        for i in range(3):
+            arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.write({"__key__": f"k{i}", "jpg": buf.getvalue(), "cls": i})
+
+    _, variables = tiny_model
+    pred = make_predictor(variables, cfg=TINY, batch_size=4)
+    result, truth = pred.predict_shards(shard)
+    assert len(result) == 3 and truth.tolist() == [0, 1, 2]
+    # a plain non-existent non-glob path is still a loud error, not empty
+    with pytest.raises(FileNotFoundError):
+        pred.predict_shards(str(tmp_path / "missing.tar"))
+
+
 def test_run_predict_cli(tiny_model, tmp_path, capsys):
     import run_predict
     from irp_tpu.train.checkpoint import save_weights_npz

@@ -114,3 +114,19 @@ def test_build_cache_warns_on_skipped_samples(tmp_path, capsys):
     assert len(cached) == 2
     assert "skipped 1 undecodable" in out
     assert "a_1" in out
+
+
+def test_out_rows_untouched_on_failure():
+    """The out= contract: failed rows keep the caller's pre-filled bytes
+    (pre-filled PIL fallbacks must survive), only decodable rows are
+    overwritten."""
+    rng = np.random.default_rng(2)
+    jpgs = _jpegs(rng, 3)
+    jpgs[1] = b"not a jpeg at all"
+    sentinel = np.full((3, 32, 32, 3), 7, np.uint8)
+    out = sentinel.copy()
+    imgs, ok = decode_batch_native(jpgs, out_size=32, out=out)
+    assert imgs is out
+    assert list(ok) == [True, False, True]
+    np.testing.assert_array_equal(out[1], sentinel[1])
+    assert (out[0] != 7).any() and (out[2] != 7).any()
