@@ -1,0 +1,367 @@
+"""Online inference serving: a micro-batched HTTP daemon.
+
+The reference has no serving story at all — its trained model only ever
+runs inside the final-eval loop (reference functions/final.py:27-63) and
+the repository ships no way to score new data after training.  The batch
+path here is ``irp_tpu.infer`` / ``run_predict.py``; this module is the
+*online* half: a long-lived daemon that answers scoring requests over
+HTTP while keeping the TPU fed with full batches.
+
+TPU-first design: the chip wants large fixed-shape batches (one compiled
+program, MXU-sized dispatches), while online clients send one image at a
+time.  The bridge is a micro-batcher (the same idea as TF Serving's
+request batching): requests enqueue, a single dispatch thread drains the
+queue up to ``max_batch`` images or ``window_ms``, whichever comes first,
+and runs ONE padded forward (``Predictor.predict_probs`` — already a
+single fixed-shape compiled program, infer.py:141-149) for the whole
+group.  Decode (JPEG -> 256x256 uint8, the cache contract) happens in
+the HTTP handler threads, so the dispatch thread's critical path is pure
+device work.
+
+Everything is stdlib: ``http.server.ThreadingHTTPServer`` + ``queue`` +
+``threading``.  No new dependencies.
+
+Endpoints
+---------
+- ``GET /healthz``  — liveness + model card (depth/classes/crop size).
+- ``GET /stats``    — request/batch counters, mean batch fill, latency
+  percentiles (p50/p90/p99 over the last 1024 requests).
+- ``POST /predict`` — score images.  Either a raw image body
+  (``Content-Type: image/jpeg`` etc.) or JSON
+  ``{"instances": ["<base64 image>", ...]}``.  ``?topk=k`` selects how
+  many (name, prob) pairs each prediction carries.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import queue
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from irp_tpu.infer import Predictor
+
+_STOP = object()
+
+
+@dataclass
+class _Pending:
+    """One enqueued request: n images awaiting a shared dispatch."""
+
+    images: np.ndarray                  # (n, H, W, 3) uint8
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None  # (n, num_classes) float32
+    error: Optional[BaseException] = None
+    t_enqueue: float = field(default_factory=time.monotonic)
+
+    def wait(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self.event.wait(timeout):
+            raise TimeoutError("inference request timed out")
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+
+class MicroBatcher:
+    """Groups concurrent requests into single padded-batch dispatches.
+
+    One dispatch thread owns the device: it blocks for the first pending
+    request, keeps draining the queue until ``max_batch`` images are in
+    hand or ``window_ms`` has elapsed since the first, then runs ONE
+    ``Predictor.predict_probs`` for the group.  Under load the window
+    never waits (the queue is already full); at low load a lone request
+    pays at most ``window_ms`` extra latency.
+    """
+
+    def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
+                 window_ms: float = 5.0, autostart: bool = True):
+        self.predictor = predictor
+        self.max_batch = int(max_batch or predictor.batch_size)
+        if self.max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
+        self.window_s = max(float(window_ms), 0.0) / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "images": 0, "batches": 0,
+                       "batch_images_sum": 0, "errors": 0}
+        self._latencies_ms: deque = deque(maxlen=1024)
+        if autostart:
+            self.start()
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="irp-microbatch")
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0) -> None:
+        if self._thread is None:
+            return
+        self._queue.put(_STOP)
+        self._thread.join(timeout)
+        self._thread = None
+
+    # -- client side -------------------------------------------------------
+    def submit_async(self, images_u8: np.ndarray) -> _Pending:
+        """Enqueue (n,H,W,3) uint8; returns a handle to ``wait()`` on."""
+        images_u8 = np.ascontiguousarray(images_u8, np.uint8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        if images_u8.ndim != 4 or images_u8.shape[-1] != 3:
+            raise ValueError(
+                f"expected (n,H,W,3) uint8, got {images_u8.shape}")
+        if images_u8.shape[0] == 0:
+            raise ValueError("empty request")
+        pending = _Pending(images=images_u8)
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["images"] += int(images_u8.shape[0])
+        self._queue.put(pending)
+        return pending
+
+    def submit(self, images_u8: np.ndarray,
+               timeout: Optional[float] = 60.0) -> np.ndarray:
+        """Blocking score: (n,H,W,3) uint8 -> (n,num_classes) float32."""
+        return self.submit_async(images_u8).wait(timeout)
+
+    # -- dispatch thread ---------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is _STOP:
+                return
+            group: List[_Pending] = [item]
+            total = int(item.images.shape[0])
+            deadline = time.monotonic() + self.window_s
+            while total < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = (self._queue.get_nowait() if remaining <= 0
+                           else self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self._dispatch(group)
+                    return
+                group.append(nxt)
+                total += int(nxt.images.shape[0])
+            self._dispatch(group)
+
+    def _dispatch(self, group: List[_Pending]) -> None:
+        try:
+            images = (group[0].images if len(group) == 1 else
+                      np.concatenate([p.images for p in group], axis=0))
+            probs = self.predictor.predict_probs(images)
+        except BaseException as e:  # noqa: BLE001 — delivered to waiters
+            with self._lock:
+                self._stats["errors"] += len(group)
+            for p in group:
+                p.error = e
+                p.event.set()
+            return
+        done = time.monotonic()
+        off = 0
+        for p in group:
+            n = int(p.images.shape[0])
+            p.result = probs[off:off + n]
+            off += n
+            p.event.set()
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batch_images_sum"] += off
+            for p in group:
+                self._latencies_ms.append((done - p.t_enqueue) * 1e3)
+
+    # -- observability -----------------------------------------------------
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+            lat = sorted(self._latencies_ms)
+        s["mean_batch_fill"] = (s["batch_images_sum"] / s["batches"]
+                                if s["batches"] else 0.0)
+        if lat:
+            pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]  # noqa: E731
+            s["latency_ms"] = {"p50": round(pick(0.50), 3),
+                               "p90": round(pick(0.90), 3),
+                               "p99": round(pick(0.99), 3)}
+        return s
+
+
+def _decode_request_blobs(blobs: List[bytes], decoder: str) -> np.ndarray:
+    from irp_tpu.data.pipeline import decode_blobs
+
+    return decode_blobs(blobs, decoder=decoder)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Routes /healthz, /stats, /predict onto the owning server's batcher."""
+
+    server: "InferenceServer"
+    # Batched HTTP/1.1 clients reuse connections; keep default protocol
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+    def _send_json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            cfg = self.server.batcher.predictor.model.config
+            self._send_json(200, {
+                "status": "ok",
+                "uptime_s": round(time.monotonic() - self.server.t_start, 1),
+                "model": {"depth": cfg.depth,
+                          "num_classes": cfg.num_classes,
+                          "image_size": cfg.image_size,
+                          "class_names": list(self.server.class_names or [])
+                          or None}})
+        elif path == "/stats":
+            self._send_json(200, self.server.batcher.stats())
+        else:
+            self._send_json(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self):  # noqa: N802
+        parsed = urlparse(self.path)
+        if parsed.path != "/predict":
+            self._send_json(404, {"error": f"unknown path {parsed.path}"})
+            return
+        try:
+            topk = int(parse_qs(parsed.query).get("topk", ["1"])[0])
+        except ValueError:
+            self._send_json(400, {"error": "topk must be an integer"})
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            self._send_json(400, {"error": "empty request body"})
+            return
+        if length > self.server.max_request_bytes:
+            self._send_json(413, {"error": "request body too large"})
+            return
+        body = self.rfile.read(length)
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        try:
+            if ctype == "application/json":
+                payload = json.loads(body)
+                b64s = payload.get("instances")
+                if not isinstance(b64s, list) or not b64s:
+                    raise ValueError(
+                        "JSON body must be {\"instances\": [<base64>, ...]}")
+                blobs = [base64.b64decode(s, validate=True) for s in b64s]
+            else:
+                blobs = [body]
+            images = _decode_request_blobs(blobs, self.server.decoder)
+        except (ValueError, KeyError, binascii.Error, OSError) as e:
+            self._send_json(400, {"error": f"bad request: {e}"})
+            return
+        t0 = time.monotonic()
+        try:
+            probs = self.server.batcher.submit(
+                images, timeout=self.server.request_timeout_s)
+        except TimeoutError:
+            self._send_json(503, {"error": "inference timed out"})
+            return
+        except Exception as e:  # noqa: BLE001 — surfaced to the client
+            self._send_json(500, {"error": f"inference failed: {e}"})
+            return
+        names = self.server.class_names
+        k = max(1, min(topk, probs.shape[1]))
+        idx = np.argsort(-probs, axis=1)[:, :k]
+        preds = []
+        for i in range(probs.shape[0]):
+            label = int(idx[i, 0])
+            preds.append({
+                "label": label,
+                "label_name": (names[label] if names else str(label)),
+                "topk": [{"label": int(j),
+                          "name": (names[int(j)] if names else str(int(j))),
+                          "prob": round(float(probs[i, j]), 6)}
+                         for j in idx[i]]})
+        self._send_json(200, {
+            "predictions": preds, "n": len(preds),
+            "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
+
+
+class InferenceServer(ThreadingHTTPServer):
+    """HTTP front-end over a :class:`MicroBatcher`.
+
+    Build via :func:`make_server`; ``.start()`` serves on a daemon
+    thread (tests / embedding), ``.serve_forever()`` blocks (CLI).
+    """
+
+    daemon_threads = True
+
+    def __init__(self, address, batcher: MicroBatcher,
+                 class_names=None, decoder: str = "auto",
+                 request_timeout_s: float = 60.0,
+                 max_request_bytes: int = 64 * 1024 * 1024,
+                 verbose: bool = False):
+        self.batcher = batcher
+        self.class_names = list(class_names) if class_names else None
+        if (self.class_names is not None and len(self.class_names)
+                != batcher.predictor.num_classes):
+            raise ValueError(
+                f"{len(self.class_names)} class names for a "
+                f"{batcher.predictor.num_classes}-class model")
+        self.decoder = decoder
+        self.request_timeout_s = request_timeout_s
+        self.max_request_bytes = max_request_bytes
+        self.verbose = verbose
+        self.t_start = time.monotonic()
+        self._thread: Optional[threading.Thread] = None
+        super().__init__(address, _Handler)
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.serve_forever,
+                                        daemon=True, name="irp-http")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread is not None:
+            self._thread.join(5.0)
+            self._thread = None
+        self.server_close()
+        self.batcher.stop()
+
+
+def make_server(predictor: Predictor, host: str = "127.0.0.1",
+                port: int = 0, class_names=None,
+                max_batch: Optional[int] = None, window_ms: float = 5.0,
+                decoder: str = "auto", verbose: bool = False,
+                request_timeout_s: float = 60.0) -> InferenceServer:
+    """An :class:`InferenceServer` (not yet serving) for ``predictor``.
+
+    ``port=0`` binds an ephemeral port (read ``server.port`` after).
+    ``class_names`` defaults to the predictor's own.
+    """
+    batcher = MicroBatcher(predictor, max_batch=max_batch,
+                           window_ms=window_ms)
+    names = class_names if class_names is not None else predictor.class_names
+    return InferenceServer((host, port), batcher, class_names=names,
+                           decoder=decoder, verbose=verbose,
+                           request_timeout_s=request_timeout_s)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Online inference server CLI: serve a trained model over HTTP.
+
+The reference stops at offline evaluation (reference functions/final.py:
+27-63); `run_predict.py` is this framework's batch path, and this daemon
+is the online one — a micro-batched HTTP endpoint that keeps the TPU fed
+with full fixed-shape batches while clients send one image at a time
+(irp_tpu/serve.py).
+
+  # serve the final artifact on :8000
+  python run_serve.py --weights final_model.npz --classes classes.json
+
+  # score one JPEG
+  curl -s -X POST --data-binary @cat.jpg -H 'Content-Type: image/jpeg' \
+      'http://127.0.0.1:8000/predict?topk=3'
+
+  # liveness + throughput stats
+  curl -s http://127.0.0.1:8000/healthz
+  curl -s http://127.0.0.1:8000/stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", required=True,
+                   help="final-weights artifact (.npz or torch .pth)")
+    p.add_argument("--classes", default=None,
+                   help="class names: JSON file or comma-separated list")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="compiled batch shape = micro-batch cap (64 "
+                        "balances tail-padding waste against per-dispatch "
+                        "latency for online traffic; run_predict.py's bulk "
+                        "default is 256)")
+    p.add_argument("--window-ms", type=float, default=5.0,
+                   help="max time the batcher waits to fill a batch")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="eval crop; default = the npz artifact's embedded "
+                        "training-time value, else 224")
+    p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all visible devices")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="log each HTTP request")
+    args = p.parse_args(argv)
+
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    from irp_tpu.infer import load_class_names, load_predictor
+    from irp_tpu.serve import make_server
+
+    class_names = load_class_names(args.classes) if args.classes else None
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from irp_tpu.config import MeshConfig
+        from irp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig())
+
+    predictor = load_predictor(args.weights, class_names=class_names,
+                               batch_size=args.batch_size, mesh=mesh,
+                               image_size=args.image_size)
+
+    # Compile + warm the forward BEFORE accepting traffic so the first
+    # client never eats the (minutes-scale on TPU) jit wait.
+    cache = 256  # decode contract, data/pipeline.py::decode_to_rgb256
+    warm = np.zeros((1, cache, cache, 3), np.uint8)
+    print(f"compiling {predictor.model.config.depth}-layer forward "
+          f"(batch {predictor.batch_size}, crop "
+          f"{predictor.model.config.image_size}) ...", flush=True)
+    predictor.predict_probs(warm)
+
+    server = make_server(predictor, host=args.host, port=args.port,
+                         window_ms=args.window_ms, decoder=args.decoder,
+                         verbose=args.verbose)
+    print(f"serving on http://{args.host}:{server.port}  "
+          f"(POST /predict, GET /healthz, GET /stats)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

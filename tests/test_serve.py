@@ -1,0 +1,283 @@
+"""Online serving daemon (irp_tpu/serve.py, run_serve.py).
+
+The reference has no serving at all (model runs only inside final-eval,
+reference functions/final.py:27-63).  These tests lock the net-new online
+contract: micro-batch grouping semantics, blocking submit correctness vs
+the direct forward, and the HTTP surface (healthz / predict raw + JSON
+base64 / topk / stats / error paths) end-to-end over a real socket.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.models.classifier import init_classifier
+
+TINY = ModelConfig(depth=18, num_classes=3, image_size=32, hidden_dim=16,
+                   compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from irp_tpu.infer import make_predictor
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                   image_size=32)
+    return make_predictor(variables, cfg=TINY, batch_size=8,
+                          class_names=["cat", "dog", "fox"])
+
+
+@pytest.fixture(scope="module")
+def server(predictor):
+    from irp_tpu.serve import make_server
+
+    srv = make_server(predictor, port=0, window_ms=20.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def _get_json(server, path):
+    with urllib.request.urlopen(_url(server, path), timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(server, path, body, ctype):
+    req = urllib.request.Request(_url(server, path), data=body,
+                                 headers={"Content-Type": ctype},
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _jpeg_bytes(rng, size=64):
+    arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+# -- MicroBatcher semantics (no HTTP) -------------------------------------
+
+def test_microbatcher_groups_queued_requests(predictor):
+    """Requests enqueued before the dispatch thread starts form ONE batch."""
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, max_batch=8, window_ms=50.0,
+                     autostart=False)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (5, 1, 48, 48, 3), dtype=np.uint8)
+    pendings = [b.submit_async(img) for img in imgs]
+    b.start()
+    results = [p.wait(60.0) for p in pendings]
+    b.stop()
+    stats = b.stats()
+    assert stats["requests"] == 5 and stats["images"] == 5
+    assert stats["batches"] == 1          # grouped, not 5 dispatches
+    assert stats["mean_batch_fill"] == 5.0
+    # grouped results == the same rows scored alone
+    direct = predictor.predict_probs(imgs.reshape(5, 48, 48, 3))
+    np.testing.assert_allclose(np.concatenate(results), direct,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_microbatcher_caps_batch_at_max(predictor):
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, max_batch=4, window_ms=50.0,
+                     autostart=False)
+    rng = np.random.default_rng(1)
+    pendings = [b.submit_async(
+        rng.integers(0, 256, (1, 48, 48, 3), dtype=np.uint8))
+        for _ in range(10)]
+    b.start()
+    for p in pendings:
+        p.wait(60.0)
+    b.stop()
+    stats = b.stats()
+    assert stats["images"] == 10
+    assert stats["batches"] >= 3          # 10 images / cap 4
+    assert stats["mean_batch_fill"] <= 4.0
+
+
+def test_microbatcher_surfaces_errors(predictor):
+    """A failing forward rejects the waiters instead of hanging them."""
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, max_batch=4, window_ms=1.0)
+    # 16x16 < the 32px eval crop -> Predictor raises ValueError
+    p = b.submit_async(np.zeros((1, 16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="eval crop"):
+        p.wait(60.0)
+    assert b.stats()["errors"] == 1
+    b.stop()
+
+
+def test_microbatcher_validates_input(predictor):
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, autostart=False)
+    with pytest.raises(ValueError):
+        b.submit_async(np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError):
+        b.submit_async(np.zeros((0, 48, 48, 3), np.uint8))
+
+
+# -- HTTP surface ---------------------------------------------------------
+
+def test_healthz_reports_model_card(server):
+    status, body = _get_json(server, "/healthz")
+    assert status == 200 and body["status"] == "ok"
+    assert body["model"] == {"depth": 18, "num_classes": 3,
+                             "image_size": 32,
+                             "class_names": ["cat", "dog", "fox"]}
+
+
+def test_predict_raw_jpeg(server):
+    rng = np.random.default_rng(2)
+    status, body = _post(server, "/predict?topk=3", _jpeg_bytes(rng),
+                         "image/jpeg")
+    assert status == 200 and body["n"] == 1
+    (pred,) = body["predictions"]
+    assert pred["label_name"] in ("cat", "dog", "fox")
+    assert len(pred["topk"]) == 3
+    probs = [t["prob"] for t in pred["topk"]]
+    assert probs == sorted(probs, reverse=True)
+    assert abs(sum(probs) - 1.0) < 1e-3    # topk=3 == all classes
+    assert body["latency_ms"] > 0
+
+
+def test_predict_json_batch(server):
+    rng = np.random.default_rng(3)
+    instances = [base64.b64encode(_jpeg_bytes(rng)).decode()
+                 for _ in range(4)]
+    status, body = _post(server, "/predict",
+                         json.dumps({"instances": instances}).encode(),
+                         "application/json")
+    assert status == 200 and body["n"] == 4
+    assert all(len(p["topk"]) == 1 for p in body["predictions"])
+
+
+def test_predict_concurrent_clients(server, predictor):
+    """Parallel clients all get their own (correct) answers back."""
+    rng = np.random.default_rng(4)
+    blobs = [_jpeg_bytes(rng) for _ in range(6)]
+    results: dict = {}
+
+    def hit(i):
+        try:
+            results[i] = _post(server, "/predict", blobs[i], "image/jpeg")
+        except Exception as e:  # noqa: BLE001 — assert below
+            results[i] = e
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert len(results) == 6
+    from irp_tpu.data.pipeline import decode_blobs
+    expect = np.argmax(
+        predictor.predict_probs(decode_blobs(blobs)), axis=1)
+    for i, res in results.items():
+        assert not isinstance(res, Exception), res
+        status, body = res
+        assert status == 200
+        assert body["predictions"][0]["label"] == int(expect[i])
+
+
+def test_stats_counts_requests(server):
+    rng = np.random.default_rng(6)
+    _post(server, "/predict", _jpeg_bytes(rng), "image/jpeg")
+    status, body = _get_json(server, "/stats")
+    assert status == 200
+    assert body["requests"] >= 1 and body["images"] >= body["batches"] >= 1
+    assert "latency_ms" in body and body["latency_ms"]["p50"] > 0
+
+
+@pytest.mark.parametrize("body,ctype,detail", [
+    (b"", "image/jpeg", "empty"),
+    (b"not an image", "image/jpeg", "bad request"),
+    (json.dumps({"instances": []}).encode(), "application/json",
+     "bad request"),
+    (json.dumps({"instances": ["!!!not-base64!!!"]}).encode(),
+     "application/json", "bad request"),
+])
+def test_predict_rejects_bad_input(server, body, ctype, detail):
+    req = urllib.request.Request(_url(server, "/predict"), data=body,
+                                 headers={"Content-Type": ctype},
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+    assert detail in json.loads(exc.value.read())["error"]
+
+
+def test_unknown_paths_404(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=30)
+    assert exc.value.code == 404
+
+
+def test_class_name_count_mismatch_rejected(predictor):
+    from irp_tpu.serve import make_server
+
+    with pytest.raises(ValueError, match="class names"):
+        make_server(predictor, port=0, class_names=["just-one"])
+
+
+# -- CLI ------------------------------------------------------------------
+
+def test_run_serve_cli_e2e(tmp_path, predictor):
+    """run_serve.py end-to-end: artifact -> daemon -> scored request."""
+    import subprocess
+    import sys
+    import time
+
+    from irp_tpu.train.checkpoint import save_weights_npz
+    from irp_tpu.utils.subproc import cpu_child_env
+
+    weights = tmp_path / "w.npz"
+    save_weights_npz(str(weights), predictor.params, predictor.batch_stats,
+                     meta={"image_size": 32})
+    proc = subprocess.Popen(
+        [sys.executable, "/root/repo/run_serve.py", "--weights",
+         str(weights), "--classes", "cat,dog,fox", "--port", "0",
+         "--cpu", "--batch-size", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=cpu_child_env())
+    try:
+        port = None
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("run_serve exited before serving")
+            if line.startswith("serving on http://"):
+                port = int(line.split(":")[2].split()[0])
+                break
+        assert port, "no serving line within 180s"
+        rng = np.random.default_rng(5)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=_jpeg_bytes(rng),
+            headers={"Content-Type": "image/jpeg"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = json.loads(r.read())
+        assert body["n"] == 1
+        assert body["predictions"][0]["label_name"] in ("cat", "dog", "fox")
+    finally:
+        proc.terminate()
+        proc.wait(30)
