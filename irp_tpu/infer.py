@@ -311,11 +311,12 @@ def load_predictor(weights_path: str,
     """
     ext = os.path.splitext(weights_path)[1].lower()
     if ext == ".npz":
-        from irp_tpu.train.checkpoint import load_weights_meta, load_weights_npz
-        params, batch_stats = load_weights_npz(weights_path)
+        from irp_tpu.train.checkpoint import load_weights_npz
+        params, batch_stats, meta = load_weights_npz(weights_path,
+                                                     with_meta=True)
         variables = {"params": params, "batch_stats": batch_stats}
         if image_size is None:
-            meta_size = load_weights_meta(weights_path).get("image_size")
+            meta_size = meta.get("image_size")
             image_size = int(meta_size) if meta_size is not None else None
     elif ext in (".pth", ".pt"):
         from irp_tpu.models.convert import load_torch_checkpoint

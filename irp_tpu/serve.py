@@ -35,7 +35,6 @@ Endpoints
 from __future__ import annotations
 
 import base64
-import binascii
 import json
 import queue
 import threading
@@ -53,6 +52,10 @@ from irp_tpu.infer import Predictor
 _STOP = object()
 
 
+class ServerOverloadedError(RuntimeError):
+    """The request queue is full — shed load instead of growing it."""
+
+
 @dataclass
 class _Pending:
     """One enqueued request: n images awaiting a shared dispatch."""
@@ -62,9 +65,14 @@ class _Pending:
     result: Optional[np.ndarray] = None  # (n, num_classes) float32
     error: Optional[BaseException] = None
     t_enqueue: float = field(default_factory=time.monotonic)
+    cancelled: bool = False             # waiter gave up; skip the forward
 
     def wait(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
+            # best-effort: if the dispatch thread hasn't picked this up
+            # yet it will drop it instead of burning a forward on a
+            # request nobody is waiting for
+            self.cancelled = True
             raise TimeoutError("inference request timed out")
         if self.error is not None:
             raise self.error
@@ -83,17 +91,26 @@ class MicroBatcher:
     """
 
     def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
-                 window_ms: float = 5.0, autostart: bool = True):
+                 window_ms: float = 5.0, autostart: bool = True,
+                 max_pending: Optional[int] = None):
         self.predictor = predictor
-        self.max_batch = int(max_batch or predictor.batch_size)
+        self.max_batch = (predictor.batch_size if max_batch is None
+                          else int(max_batch))
         if self.max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
         self.window_s = max(float(window_ms), 0.0) / 1e3
-        self._queue: queue.Queue = queue.Queue()
+        # Bounded queue = load shedding: beyond ~8 batches of backlog a
+        # request would time out waiting anyway, so reject at the door
+        # (ServerOverloadedError -> HTTP 503) instead of queueing work
+        # nobody will collect.
+        self.max_pending = (max(64, 8 * self.max_batch)
+                            if max_pending is None else int(max_pending))
+        self._queue: queue.Queue = queue.Queue(maxsize=self.max_pending)
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "batches": 0,
-                       "batch_images_sum": 0, "errors": 0}
+                       "batch_images_sum": 0, "errors": 0, "rejected": 0,
+                       "cancelled": 0}
         self._latencies_ms: deque = deque(maxlen=1024)
         if autostart:
             self.start()
@@ -107,15 +124,34 @@ class MicroBatcher:
         self._thread.start()
 
     def stop(self, timeout: float = 10.0) -> None:
-        if self._thread is None:
-            return
-        self._queue.put(_STOP)
-        self._thread.join(timeout)
-        self._thread = None
+        if self._thread is not None:
+            self._queue.put(_STOP)
+            self._thread.join(timeout)
+            self._thread = None
+        # anything still queued (incl. a never-started batcher) must not
+        # leave its waiter blocked until the full request timeout
+        self._drain_reject(RuntimeError("batcher stopped"))
+
+    def _drain_reject(self, exc: BaseException) -> None:
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is _STOP:
+                continue
+            item.error = exc
+            item.event.set()
 
     # -- client side -------------------------------------------------------
     def submit_async(self, images_u8: np.ndarray) -> _Pending:
-        """Enqueue (n,H,W,3) uint8; returns a handle to ``wait()`` on."""
+        """Enqueue (n,H,W,3) uint8; returns a handle to ``wait()`` on.
+
+        Raises ``ValueError`` for malformed/undersized input (validated
+        HERE so a bad request can never poison the co-batched neighbors
+        it would have shared a dispatch with) and
+        :class:`ServerOverloadedError` when the bounded queue is full.
+        """
         images_u8 = np.ascontiguousarray(images_u8, np.uint8)
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
@@ -124,11 +160,23 @@ class MicroBatcher:
                 f"expected (n,H,W,3) uint8, got {images_u8.shape}")
         if images_u8.shape[0] == 0:
             raise ValueError("empty request")
+        crop = self.predictor.model.config.image_size
+        h, w = images_u8.shape[1:3]
+        if h < crop or w < crop:
+            raise ValueError(
+                f"images are {h}x{w} but the model's eval crop is "
+                f"{crop}x{crop}")
         pending = _Pending(images=images_u8)
+        try:
+            self._queue.put_nowait(pending)
+        except queue.Full:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise ServerOverloadedError(
+                f"request queue full ({self.max_pending} pending)") from None
         with self._lock:
             self._stats["requests"] += 1
             self._stats["images"] += int(images_u8.shape[0])
-        self._queue.put(pending)
         return pending
 
     def submit(self, images_u8: np.ndarray,
@@ -141,10 +189,12 @@ class MicroBatcher:
         while True:
             item = self._queue.get()
             if item is _STOP:
+                self._drain_reject(RuntimeError("batcher stopped"))
                 return
             group: List[_Pending] = [item]
             total = int(item.images.shape[0])
             deadline = time.monotonic() + self.window_s
+            stopping = False
             while total < self.max_batch:
                 remaining = deadline - time.monotonic()
                 try:
@@ -153,13 +203,32 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is _STOP:
-                    self._dispatch(group)
-                    return
+                    stopping = True
+                    break
                 group.append(nxt)
                 total += int(nxt.images.shape[0])
             self._dispatch(group)
+            if stopping:
+                self._drain_reject(RuntimeError("batcher stopped"))
+                return
 
     def _dispatch(self, group: List[_Pending]) -> None:
+        live = [p for p in group if not p.cancelled]
+        if len(live) < len(group):
+            with self._lock:
+                self._stats["cancelled"] += len(group) - len(live)
+            for p in group:
+                if p.cancelled:
+                    p.event.set()
+        # mixed spatial sizes can't share one np.concatenate/forward;
+        # bucket by (H, W) so shapes never cross-contaminate a dispatch
+        buckets: dict = {}
+        for p in live:
+            buckets.setdefault(p.images.shape[1:3], []).append(p)
+        for bucket in buckets.values():
+            self._dispatch_same_shape(bucket)
+
+    def _dispatch_same_shape(self, group: List[_Pending]) -> None:
         try:
             images = (group[0].images if len(group) == 1 else
                       np.concatenate([p.images for p in group], axis=0))
@@ -244,18 +313,24 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         parsed = urlparse(self.path)
         if parsed.path != "/predict":
+            # body unread: keep-alive would misparse its bytes as the
+            # next request line, so drop the connection on early returns
+            self.close_connection = True
             self._send_json(404, {"error": f"unknown path {parsed.path}"})
             return
         try:
             topk = int(parse_qs(parsed.query).get("topk", ["1"])[0])
+            length = int(self.headers.get("Content-Length") or 0)
         except ValueError:
-            self._send_json(400, {"error": "topk must be an integer"})
+            self.close_connection = True
+            self._send_json(400, {"error": "topk and Content-Length must "
+                                           "be integers"})
             return
-        length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
             self._send_json(400, {"error": "empty request body"})
             return
         if length > self.server.max_request_bytes:
+            self.close_connection = True
             self._send_json(413, {"error": "request body too large"})
             return
         body = self.rfile.read(length)
@@ -263,15 +338,20 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if ctype == "application/json":
                 payload = json.loads(body)
-                b64s = payload.get("instances")
-                if not isinstance(b64s, list) or not b64s:
+                b64s = (payload.get("instances")
+                        if isinstance(payload, dict) else None)
+                if (not isinstance(b64s, list) or not b64s
+                        or not all(isinstance(s, (str, bytes))
+                                   for s in b64s)):
                     raise ValueError(
                         "JSON body must be {\"instances\": [<base64>, ...]}")
                 blobs = [base64.b64decode(s, validate=True) for s in b64s]
             else:
                 blobs = [body]
             images = _decode_request_blobs(blobs, self.server.decoder)
-        except (ValueError, KeyError, binascii.Error, OSError) as e:
+        except Exception as e:  # noqa: BLE001 — any unparseable body is
+            # the client's fault; a dropped connection with no response
+            # (and a handler-thread traceback) must never be the answer
             self._send_json(400, {"error": f"bad request: {e}"})
             return
         t0 = time.monotonic()
@@ -280,6 +360,9 @@ class _Handler(BaseHTTPRequestHandler):
                 images, timeout=self.server.request_timeout_s)
         except TimeoutError:
             self._send_json(503, {"error": "inference timed out"})
+            return
+        except ServerOverloadedError as e:
+            self._send_json(503, {"error": str(e)})
             return
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             self._send_json(500, {"error": f"inference failed: {e}"})

@@ -39,32 +39,36 @@ def save_weights_npz(path: str, params, batch_stats,
     return path
 
 
-def load_weights_npz(path: str):
-    """Inverse of save_weights_npz -> (params, batch_stats) nested dicts."""
+def load_weights_npz(path: str, with_meta: bool = False):
+    """Inverse of save_weights_npz -> (params, batch_stats) nested dicts.
+
+    ``with_meta=True`` appends the artifact's meta dict to the tuple —
+    one archive open instead of a separate :func:`load_weights_meta`
+    pass (empty for pre-metadata artifacts).
+    """
     data = np.load(path)
     out = {"params": {}, "batch_stats": {}}
+    meta = {}
     for key in data.files:
         coll, rest = key.split("/", 1)
         if coll == "__meta__":
-            continue  # load_weights_meta's domain
+            v = data[key]
+            meta[rest] = v.item() if v.ndim == 0 else v
+            continue
         node = out[coll]
         parts = rest.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
+    if with_meta:
+        return out["params"], out["batch_stats"], meta
     return out["params"], out["batch_stats"]
 
 
 def load_weights_meta(path: str) -> dict:
     """The ``meta`` dict a save_weights_npz artifact was written with
     (empty for pre-metadata artifacts — every weight key still loads)."""
-    data = np.load(path)
-    out = {}
-    for key in data.files:
-        if key.startswith("__meta__/"):
-            v = data[key]
-            out[key.split("/", 1)[1]] = v.item() if v.ndim == 0 else v
-    return out
+    return load_weights_npz(path, with_meta=True)[2]
 
 
 def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:

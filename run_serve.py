@@ -78,8 +78,13 @@ def main(argv=None):
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size)
 
-    # Compile + warm the forward BEFORE accepting traffic so the first
-    # client never eats the (minutes-scale on TPU) jit wait.
+    # Bind the socket FIRST (fails fast on a busy port — make_server
+    # does not serve yet), then compile + warm the forward before
+    # accepting traffic so the first client never eats the
+    # (minutes-scale on TPU) jit wait.
+    server = make_server(predictor, host=args.host, port=args.port,
+                         window_ms=args.window_ms, decoder=args.decoder,
+                         verbose=args.verbose)
     cache = 256  # decode contract, data/pipeline.py::decode_to_rgb256
     warm = np.zeros((1, cache, cache, 3), np.uint8)
     print(f"compiling {predictor.model.config.depth}-layer forward "
@@ -87,9 +92,6 @@ def main(argv=None):
           f"{predictor.model.config.image_size}) ...", flush=True)
     predictor.predict_probs(warm)
 
-    server = make_server(predictor, host=args.host, port=args.port,
-                         window_ms=args.window_ms, decoder=args.decoder,
-                         verbose=args.verbose)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /predict, GET /healthz, GET /stats)", flush=True)
     try:

@@ -117,16 +117,24 @@ def test_microbatcher_surfaces_errors(predictor):
     """A failing forward rejects the waiters instead of hanging them."""
     from irp_tpu.serve import MicroBatcher
 
-    b = MicroBatcher(predictor, max_batch=4, window_ms=1.0)
-    # 16x16 < the 32px eval crop -> Predictor raises ValueError
-    p = b.submit_async(np.zeros((1, 16, 16, 3), np.uint8))
-    with pytest.raises(ValueError, match="eval crop"):
+    class Broken:
+        batch_size = 8
+        model = predictor.model
+
+        def predict_probs(self, images):
+            raise RuntimeError("device fell over")
+
+    b = MicroBatcher(Broken(), max_batch=4, window_ms=1.0)
+    p = b.submit_async(np.zeros((1, 48, 48, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="device fell over"):
         p.wait(60.0)
     assert b.stats()["errors"] == 1
     b.stop()
 
 
 def test_microbatcher_validates_input(predictor):
+    """Bad requests are rejected AT SUBMIT, never poisoning a shared
+    dispatch group."""
     from irp_tpu.serve import MicroBatcher
 
     b = MicroBatcher(predictor, autostart=False)
@@ -134,6 +142,62 @@ def test_microbatcher_validates_input(predictor):
         b.submit_async(np.zeros((2, 2), np.uint8))
     with pytest.raises(ValueError):
         b.submit_async(np.zeros((0, 48, 48, 3), np.uint8))
+    # 16x16 < the 32px eval crop: caught before it can co-batch
+    with pytest.raises(ValueError, match="eval crop"):
+        b.submit_async(np.zeros((1, 16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="max_batch"):
+        MicroBatcher(predictor, max_batch=0, autostart=False)
+    assert b.stats()["requests"] == 0
+
+
+def test_microbatcher_mixed_sizes_bucket_correctly(predictor):
+    """Different (H,W) requests in one window dispatch per-shape, each
+    getting its own correct result."""
+    from irp_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, (1, 48, 48, 3), dtype=np.uint8)
+    large = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    b = MicroBatcher(predictor, max_batch=8, window_ms=50.0,
+                     autostart=False)
+    ps = b.submit_async(small)
+    pl = b.submit_async(large)
+    b.start()
+    rs, rl = ps.wait(60.0), pl.wait(60.0)
+    b.stop()
+    np.testing.assert_allclose(rs, predictor.predict_probs(small),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rl, predictor.predict_probs(large),
+                               rtol=1e-5, atol=1e-6)
+    assert b.stats()["batches"] == 2  # one per shape bucket
+
+
+def test_microbatcher_sheds_load_when_queue_full(predictor):
+    from irp_tpu.serve import MicroBatcher, ServerOverloadedError
+
+    b = MicroBatcher(predictor, max_batch=4, autostart=False,
+                     max_pending=2)
+    img = np.zeros((1, 48, 48, 3), np.uint8)
+    b.submit_async(img)
+    b.submit_async(img)
+    with pytest.raises(ServerOverloadedError, match="queue full"):
+        b.submit_async(img)
+    stats = b.stats()
+    assert stats["rejected"] == 1 and stats["requests"] == 2
+    b.stop()
+
+
+def test_microbatcher_stop_rejects_queued_waiters(predictor):
+    """stop() must not leave queued waiters blocked to their timeout."""
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, autostart=False)
+    img = np.zeros((1, 48, 48, 3), np.uint8)
+    pendings = [b.submit_async(img), b.submit_async(img)]
+    b.stop()
+    for p in pendings:
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            p.wait(5.0)
 
 
 # -- HTTP surface ---------------------------------------------------------
@@ -215,6 +279,10 @@ def test_stats_counts_requests(server):
      "bad request"),
     (json.dumps({"instances": ["!!!not-base64!!!"]}).encode(),
      "application/json", "bad request"),
+    (json.dumps([1, 2, 3]).encode(), "application/json", "bad request"),
+    (json.dumps({"instances": [3]}).encode(), "application/json",
+     "bad request"),
+    (b"{truncated", "application/json", "bad request"),
 ])
 def test_predict_rejects_bad_input(server, body, ctype, detail):
     req = urllib.request.Request(_url(server, "/predict"), data=body,
