@@ -87,6 +87,13 @@ run_stage curation      5400 python tools/bench_curation.py \
 run_stage rehearsal     21600 python examples/dress_rehearsal.py \
     --work-dir /tmp/chip/rehearsal --resume
 
+# Lowest priority: online-serving throughput through the real daemon
+# (HTTP + decode + micro-batch + chip dispatch; bench_* success
+# predicate matches its one-line JSON).  startup-timeout covers the
+# minutes-scale TPU compile of the serving forward.
+run_stage bench_serve   1800 python tools/bench_serve.py --synthetic \
+    --requests 2000 --concurrency 16 --startup-timeout 900
+
 # Rehearsal's structured result lives in its work dir; mirror it too.
 cp -f /tmp/chip/rehearsal/rehearsal_summary.json \
     /root/repo/artifacts/chip/rehearsal_summary.json 2>/dev/null || true
