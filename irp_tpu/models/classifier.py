@@ -104,6 +104,23 @@ class Classifier(nn.Module):
         reference data_curation.py:654-684)."""
         return self.backbone(x, train=False).astype(jnp.float32)
 
+    def spatial_features(self, x):
+        """Pre-pool backbone feature map (B, H', W', C) — the Grad-CAM
+        surface (irp_tpu.explain).  Eval-form BN, no dropout."""
+        return self.backbone(x, train=False, return_spatial=True)
+
+    def head(self, feats):
+        """Eval-form MLP head on pooled features (B, C) -> (B, classes).
+
+        Dropout is identity at eval, so ``head(spatial.mean((1,2)))``
+        equals the full ``__call__(x, train=False)`` logits —
+        irp_tpu.explain relies on that equivalence to differentiate
+        logits w.r.t. the spatial map."""
+        y = self.head_dense1(feats)
+        y = nn.relu(y)
+        y = self.head_dense2(y)
+        return y.astype(jnp.float32)
+
 
 def _resolve_precision(name: str | None):
     if name in (None, "default"):

@@ -204,7 +204,8 @@ class ResNet(nn.Module):
     fused_frozen_blocks: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_spatial: bool = False):
         stage_sizes = STAGE_SIZES[self.depth]
         block_cls = Bottleneck if self.depth in BOTTLENECK_DEPTHS else BasicBlock
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
@@ -251,6 +252,10 @@ class ResNet(nn.Module):
                 # Single cut: no backward graph for the frozen prefix.
                 x = jax.lax.stop_gradient(x)
 
+        if return_spatial:
+            # pre-pool feature map (B, H', W', C) — the Grad-CAM surface
+            # (irp_tpu.explain); parameter tree unchanged
+            return x.astype(self.dtype)
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, C)
         return x.astype(self.dtype)
 

@@ -55,6 +55,10 @@ def main(argv=None):
                         ".pth / pre-metadata artifacts)")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--out", default=None, help="CSV output path")
+    p.add_argument("--gradcam", default=None, metavar="DIR",
+                   help="write Grad-CAM overlay PNGs (which regions drove "
+                        "each prediction, irp_tpu/explain.py) to DIR; "
+                        "--images mode only")
     p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
@@ -92,14 +96,29 @@ def main(argv=None):
               f"{predictor.num_classes}-class model", file=sys.stderr)
         return 2
 
+    if args.gradcam and not args.images:
+        print("error: --gradcam requires --images mode", file=sys.stderr)
+        return 2
+
     truth = None
+    decoded = None
     t0 = time.perf_counter()
     if args.images:
         paths = _collect_image_paths(args.images)
         if not paths:
             print(f"error: no images match {args.images}", file=sys.stderr)
             return 2
-        result = predictor.predict_paths(paths, decoder=args.decoder)
+        if args.gradcam:
+            # decode once, reuse for both the forward and the CAM pass
+            from irp_tpu.data.pipeline import decode_blobs
+            blobs = []
+            for path in paths:
+                with open(path, "rb") as f:
+                    blobs.append(f.read())
+            decoded = decode_blobs(blobs, decoder=args.decoder)
+            result = predictor.predict(decoded, keys=paths)
+        else:
+            result = predictor.predict_paths(paths, decoder=args.decoder)
     else:
         result, truth = predictor.predict_shards(args.shards,
                                                  decoder=args.decoder)
@@ -107,6 +126,22 @@ def main(argv=None):
             print(f"error: no samples in {args.shards}", file=sys.stderr)
             return 2
     elapsed = time.perf_counter() - t0
+
+    if args.gradcam:
+        from PIL import Image
+
+        from irp_tpu.explain import GradCAM, center_crop_u8, overlay_cam
+
+        os.makedirs(args.gradcam, exist_ok=True)
+        cams, _ = GradCAM(predictor).explain(decoded)  # predicted class
+        crop = predictor.model.config.image_size
+        cropped = center_crop_u8(decoded, crop)
+        for i, key in enumerate(result.keys):
+            # index prefix: distinct source dirs may share basenames
+            name = os.path.splitext(os.path.basename(key))[0]
+            Image.fromarray(overlay_cam(cropped[i], cams[i])).save(
+                os.path.join(args.gradcam, f"{i:04d}_{name}_gradcam.png"))
+        print(f"wrote {len(result)} Grad-CAM overlays to {args.gradcam}")
 
     k = min(max(1, args.topk), predictor.num_classes)
     top_idx, top_prob = result.topk(k)
