@@ -30,6 +30,10 @@ Endpoints
   (``Content-Type: image/jpeg`` etc.) or JSON
   ``{"instances": ["<base64 image>", ...]}``.  ``?topk=k`` selects how
   many (name, prob) pairs each prediction carries.
+- ``POST /explain`` — same inputs; returns each image's prediction PLUS
+  a Grad-CAM overlay PNG (base64) showing which regions drove it
+  (irp_tpu.explain).  ``?class=i`` explains a specific class instead of
+  the predicted one.
 """
 
 from __future__ import annotations
@@ -312,19 +316,22 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         parsed = urlparse(self.path)
-        if parsed.path != "/predict":
+        if parsed.path not in ("/predict", "/explain"):
             # body unread: keep-alive would misparse its bytes as the
             # next request line, so drop the connection on early returns
             self.close_connection = True
             self._send_json(404, {"error": f"unknown path {parsed.path}"})
             return
         try:
-            topk = int(parse_qs(parsed.query).get("topk", ["1"])[0])
+            query = parse_qs(parsed.query)
+            topk = int(query.get("topk", ["1"])[0])
+            cls_q = query.get("class", [None])[0]
+            explain_cls = None if cls_q is None else int(cls_q)
             length = int(self.headers.get("Content-Length") or 0)
         except ValueError:
             self.close_connection = True
-            self._send_json(400, {"error": "topk and Content-Length must "
-                                           "be integers"})
+            self._send_json(400, {"error": "topk, class and Content-Length "
+                                           "must be integers"})
             return
         if length <= 0:
             self._send_json(400, {"error": "empty request body"})
@@ -353,6 +360,9 @@ class _Handler(BaseHTTPRequestHandler):
             # the client's fault; a dropped connection with no response
             # (and a handler-thread traceback) must never be the answer
             self._send_json(400, {"error": f"bad request: {e}"})
+            return
+        if parsed.path == "/explain":
+            self._do_explain(images, topk, explain_cls)
             return
         t0 = time.monotonic()
         try:
@@ -384,6 +394,60 @@ class _Handler(BaseHTTPRequestHandler):
             "predictions": preds, "n": len(preds),
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
 
+    def _do_explain(self, images, topk: int, explain_cls) -> None:
+        """Grad-CAM for each image: prediction + overlay PNG (base64).
+
+        An interactive diagnostic path — runs in the handler thread
+        (JAX dispatch is thread-safe), not through the micro-batcher;
+        throughput belongs to /predict.
+        """
+        import io as iomod
+
+        from PIL import Image
+
+        from irp_tpu.explain import center_crop_u8, overlay_cam
+
+        num_classes = self.server.batcher.predictor.num_classes
+        if explain_cls is not None and not (0 <= explain_cls < num_classes):
+            self._send_json(400, {"error": f"class must be in "
+                                           f"[0, {num_classes})"})
+            return
+        t0 = time.monotonic()
+        try:
+            cams, logits = self.server.gradcam().explain(
+                images, class_idx=(None if explain_cls is None
+                                   else np.full((images.shape[0],),
+                                                explain_cls, np.int32)))
+        except Exception as e:  # noqa: BLE001 — surfaced to the client
+            self._send_json(500, {"error": f"explain failed: {e}"})
+            return
+        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs /= probs.sum(axis=1, keepdims=True)
+        crop = self.server.batcher.predictor.model.config.image_size
+        cropped = center_crop_u8(images, crop)
+        names = self.server.class_names
+        k = max(1, min(topk, num_classes))
+        idx = np.argsort(-probs, axis=1)[:, :k]
+        out = []
+        for i in range(probs.shape[0]):
+            label = int(idx[i, 0])
+            buf = iomod.BytesIO()
+            Image.fromarray(overlay_cam(cropped[i], cams[i])).save(
+                buf, "PNG")
+            out.append({
+                "label": label,
+                "label_name": (names[label] if names else str(label)),
+                "explained_class": (explain_cls if explain_cls is not None
+                                    else label),
+                "topk": [{"label": int(j),
+                          "name": (names[int(j)] if names else str(int(j))),
+                          "prob": round(float(probs[i, j]), 6)}
+                         for j in idx[i]],
+                "cam_png_b64": base64.b64encode(buf.getvalue()).decode()})
+        self._send_json(200, {
+            "explanations": out, "n": len(out),
+            "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
+
 
 class InferenceServer(ThreadingHTTPServer):
     """HTTP front-end over a :class:`MicroBatcher`.
@@ -412,7 +476,17 @@ class InferenceServer(ThreadingHTTPServer):
         self.verbose = verbose
         self.t_start = time.monotonic()
         self._thread: Optional[threading.Thread] = None
+        self._gradcam = None
+        self._gradcam_lock = threading.Lock()
         super().__init__(address, _Handler)
+
+    def gradcam(self):
+        """Lazily-built shared GradCAM (compiles on first /explain)."""
+        with self._gradcam_lock:
+            if self._gradcam is None:
+                from irp_tpu.explain import GradCAM
+                self._gradcam = GradCAM(self.batcher.predictor)
+            return self._gradcam
 
     @property
     def port(self) -> int:

@@ -93,7 +93,8 @@ def main(argv=None):
     predictor.predict_probs(warm)
 
     print(f"serving on http://{args.host}:{server.port}  "
-          f"(POST /predict, GET /healthz, GET /stats)", flush=True)
+          f"(POST /predict, POST /explain, GET /healthz, GET /stats)",
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -294,6 +294,40 @@ def test_predict_rejects_bad_input(server, body, ctype, detail):
     assert detail in json.loads(exc.value.read())["error"]
 
 
+def test_explain_endpoint(server):
+    """Grad-CAM over HTTP: prediction + decodable overlay PNG."""
+    import io as iomod
+
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    status, body = _post(server, "/explain?topk=2", _jpeg_bytes(rng),
+                         "image/jpeg")
+    assert status == 200 and body["n"] == 1
+    (exp,) = body["explanations"]
+    assert exp["label_name"] in ("cat", "dog", "fox")
+    assert exp["explained_class"] == exp["label"]
+    assert len(exp["topk"]) == 2
+    png = base64.b64decode(exp["cam_png_b64"])
+    assert png[:4] == b"\x89PNG"
+    arr = np.asarray(Image.open(iomod.BytesIO(png)))
+    assert arr.shape == (32, 32, 3)  # overlay on the eval crop
+
+
+def test_explain_specific_class_and_validation(server):
+    rng = np.random.default_rng(9)
+    status, body = _post(server, "/explain?class=1", _jpeg_bytes(rng),
+                         "image/jpeg")
+    assert status == 200
+    assert body["explanations"][0]["explained_class"] == 1
+    req = urllib.request.Request(
+        _url(server, "/explain?class=7"), data=_jpeg_bytes(rng),
+        headers={"Content-Type": "image/jpeg"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
 def test_unknown_paths_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(_url(server, "/nope"), timeout=30)
