@@ -85,12 +85,23 @@ class GradCAM:
     """Compiled Grad-CAM over a :class:`irp_tpu.infer.Predictor`.
 
     One fixed-shape program per (batch_size, input HxW): requests pad to
-    the predictor's batch shape exactly like ``predict_probs``.
+    ``batch_size`` exactly like ``predict_probs`` (defaults to the
+    predictor's; pass a smaller one for interactive use — e.g. the
+    serving daemon explains single images, and padding each to a bulk
+    256-image program would waste ~256x the device work).
     """
 
-    def __init__(self, predictor):
+    def __init__(self, predictor, batch_size: Optional[int] = None):
+        import threading
+
         self.predictor = predictor
+        self.batch_size = (predictor.batch_size if batch_size is None
+                           else int(batch_size))
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, "
+                             f"got {self.batch_size}")
         self._fns = {}  # out-size keyed (input HxW changes trace anyway)
+        self._build_lock = threading.Lock()  # one trace+compile per key
 
     def explain(self, images_u8: np.ndarray,
                 class_idx: Optional[np.ndarray] = None):
@@ -127,10 +138,11 @@ class GradCAM:
         if n == 0:
             return (np.zeros((0, crop, crop), np.float32),
                     np.zeros((0, num_classes), np.float32))
-        fn = self._fns.get(crop)
-        if fn is None:
-            fn = self._fns[crop] = _build_cam_fn(p.model, crop)
-        bsz = p.batch_size
+        with self._build_lock:
+            fn = self._fns.get(crop)
+            if fn is None:
+                fn = self._fns[crop] = _build_cam_fn(p.model, crop)
+        bsz = self.batch_size
         cams, logits = [], []
         for start in range(0, n, bsz):
             chunk = images_u8[start:start + bsz]

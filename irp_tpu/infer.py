@@ -197,9 +197,9 @@ class Predictor:
                                 probs=probs, class_names=self.class_names,
                                 keys=keys)
 
-    def predict_paths(self, paths: Sequence[str],
-                      decoder: str = "auto") -> PredictionResult:
-        """Score image files (JPEG/PNG/...).
+    def decode_paths(self, paths: Sequence[str],
+                     decoder: str = "auto") -> np.ndarray:
+        """Read + decode image files to the cache geometry (N,256,256,3).
 
         ``decoder='auto'`` uses the native C++ batch JPEG decoder when
         built (native/decode.cpp), falling back to PIL; 'pil' forces PIL.
@@ -209,12 +209,19 @@ class Predictor:
         """
         from irp_tpu.data.pipeline import decode_blobs
 
-        paths = list(paths)
         blobs = []
         for path in paths:
             with open(path, "rb") as f:
                 blobs.append(f.read())
-        return self.predict(decode_blobs(blobs, decoder=decoder), keys=paths)
+        return decode_blobs(blobs, decoder=decoder)
+
+    def predict_paths(self, paths: Sequence[str],
+                      decoder: str = "auto") -> PredictionResult:
+        """Score image files (JPEG/PNG/...) — see :meth:`decode_paths`
+        for the decode contract."""
+        paths = list(paths)
+        return self.predict(self.decode_paths(paths, decoder=decoder),
+                            keys=paths)
 
     def predict_shards(self, shard_paths: Sequence[str] | str,
                        decoder: str = "auto"

@@ -310,7 +310,9 @@ class _Handler(BaseHTTPRequestHandler):
                           "class_names": list(self.server.class_names or [])
                           or None}})
         elif path == "/stats":
-            self._send_json(200, self.server.batcher.stats())
+            stats = self.server.batcher.stats()
+            stats["explain"] = self.server.explain_stats()
+            self._send_json(200, stats)
         else:
             self._send_json(404, {"error": f"unknown path {path}"})
 
@@ -325,8 +327,12 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             query = parse_qs(parsed.query)
             topk = int(query.get("topk", ["1"])[0])
-            cls_q = query.get("class", [None])[0]
-            explain_cls = None if cls_q is None else int(cls_q)
+            explain_cls = None
+            if parsed.path == "/explain":
+                # /predict ignores unknown params (incl. 'class') —
+                # don't 400 a request over a param it never reads
+                cls_q = query.get("class", [None])[0]
+                explain_cls = None if cls_q is None else int(cls_q)
             length = int(self.headers.get("Content-Length") or 0)
         except ValueError:
             self.close_connection = True
@@ -421,6 +427,8 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             self._send_json(500, {"error": f"explain failed: {e}"})
             return
+        self.server.record_explain(int(images.shape[0]),
+                                   (time.monotonic() - t0) * 1e3)
         probs = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs /= probs.sum(axis=1, keepdims=True)
         crop = self.server.batcher.predictor.model.config.image_size
@@ -478,15 +486,39 @@ class InferenceServer(ThreadingHTTPServer):
         self._thread: Optional[threading.Thread] = None
         self._gradcam = None
         self._gradcam_lock = threading.Lock()
+        self._explain_stats = {"requests": 0, "images": 0}
+        self._explain_latencies_ms: deque = deque(maxlen=1024)
         super().__init__(address, _Handler)
 
     def gradcam(self):
-        """Lazily-built shared GradCAM (compiles on first /explain)."""
+        """Lazily-built shared GradCAM (compiles on first /explain).
+
+        Built over a SMALL batch shape: /explain is interactive
+        single-image traffic, and padding each request to the bulk
+        /predict batch (64-256) would burn that many images' device
+        work per map."""
         with self._gradcam_lock:
             if self._gradcam is None:
                 from irp_tpu.explain import GradCAM
-                self._gradcam = GradCAM(self.batcher.predictor)
+                p = self.batcher.predictor
+                self._gradcam = GradCAM(p, batch_size=min(8, p.batch_size))
             return self._gradcam
+
+    def record_explain(self, n_images: int, latency_ms: float) -> None:
+        with self._gradcam_lock:
+            self._explain_stats["requests"] += 1
+            self._explain_stats["images"] += n_images
+            self._explain_latencies_ms.append(latency_ms)
+
+    def explain_stats(self) -> dict:
+        with self._gradcam_lock:
+            s = dict(self._explain_stats)
+            lat = sorted(self._explain_latencies_ms)
+        if lat:
+            pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]  # noqa: E731
+            s["latency_ms"] = {"p50": round(pick(0.50), 3),
+                               "p99": round(pick(0.99), 3)}
+        return s
 
     @property
     def port(self) -> int:

@@ -65,6 +65,11 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
+    if args.gradcam and not args.images:
+        # pure arg validation — before the expensive weight load
+        print("error: --gradcam requires --images mode", file=sys.stderr)
+        return 2
+
     from irp_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -96,12 +101,7 @@ def main(argv=None):
               f"{predictor.num_classes}-class model", file=sys.stderr)
         return 2
 
-    if args.gradcam and not args.images:
-        print("error: --gradcam requires --images mode", file=sys.stderr)
-        return 2
-
     truth = None
-    decoded = None
     t0 = time.perf_counter()
     if args.images:
         paths = _collect_image_paths(args.images)
@@ -109,14 +109,21 @@ def main(argv=None):
             print(f"error: no images match {args.images}", file=sys.stderr)
             return 2
         if args.gradcam:
-            # decode once, reuse for both the forward and the CAM pass
-            from irp_tpu.data.pipeline import decode_blobs
-            blobs = []
-            for path in paths:
-                with open(path, "rb") as f:
-                    blobs.append(f.read())
-            decoded = decode_blobs(blobs, decoder=args.decoder)
-            result = predictor.predict(decoded, keys=paths)
+            # ONE pass: explain() already computes the logits, and using
+            # them for the CSV guarantees the overlay explains exactly
+            # the reported class (a second predict() forward could
+            # argmax differently on near-ties)
+            from irp_tpu.infer import PredictionResult
+            from irp_tpu.explain import GradCAM
+
+            decoded = predictor.decode_paths(paths, decoder=args.decoder)
+            cams, logits = GradCAM(predictor).explain(decoded)
+            exps = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = (exps / exps.sum(axis=1, keepdims=True)).astype(
+                np.float32)
+            result = PredictionResult(
+                labels=np.argmax(probs, axis=1).astype(np.int32),
+                probs=probs, class_names=class_names, keys=paths)
         else:
             result = predictor.predict_paths(paths, decoder=args.decoder)
     else:
@@ -130,12 +137,11 @@ def main(argv=None):
     if args.gradcam:
         from PIL import Image
 
-        from irp_tpu.explain import GradCAM, center_crop_u8, overlay_cam
+        from irp_tpu.explain import center_crop_u8, overlay_cam
 
         os.makedirs(args.gradcam, exist_ok=True)
-        cams, _ = GradCAM(predictor).explain(decoded)  # predicted class
-        crop = predictor.model.config.image_size
-        cropped = center_crop_u8(decoded, crop)
+        cropped = center_crop_u8(decoded,
+                                 predictor.model.config.image_size)
         for i, key in enumerate(result.keys):
             # index prefix: distinct source dirs may share basenames
             name = os.path.splitext(os.path.basename(key))[0]

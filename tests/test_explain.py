@@ -123,6 +123,14 @@ def test_cam_shape_range_and_padding_invariance(predictor, images80):
     # tail padding must not change full-batch results
     cams4, _ = g.explain(images80[:4])
     np.testing.assert_allclose(cams4, cams[:4], rtol=1e-5, atol=1e-6)
+    # a smaller dedicated batch shape (the serving daemon's mode)
+    # produces identical maps
+    small = GradCAM(predictor, batch_size=2)
+    cams_s, logits_s = small.explain(images80)
+    np.testing.assert_allclose(cams_s, cams, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(logits_s, logits, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="batch_size"):
+        GradCAM(predictor, batch_size=0)
 
 
 def test_cam_is_class_conditional(predictor, images80):

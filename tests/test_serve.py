@@ -320,6 +320,15 @@ def test_explain_specific_class_and_validation(server):
                          "image/jpeg")
     assert status == 200
     assert body["explanations"][0]["explained_class"] == 1
+    # /explain traffic shows up in /stats under its own counters
+    _, stats = _get_json(server, "/stats")
+    assert stats["explain"]["requests"] >= 1
+    assert stats["explain"]["latency_ms"]["p50"] > 0
+    # /predict ignores the 'class' param (even non-integer) rather
+    # than 400ing over a value it never reads
+    status, body = _post(server, "/predict?class=cat", _jpeg_bytes(rng),
+                         "image/jpeg")
+    assert status == 200 and body["n"] == 1
     req = urllib.request.Request(
         _url(server, "/explain?class=7"), data=_jpeg_bytes(rng),
         headers={"Content-Type": "image/jpeg"}, method="POST")
