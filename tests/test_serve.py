@@ -343,6 +343,34 @@ def test_unknown_paths_404(server):
     assert exc.value.code == 404
 
 
+def test_serve_with_data_parallel_mesh(predictor):
+    """The daemon composes with a mesh predictor: batches shard over the
+    8 virtual devices and answers match the single-device forward."""
+    from irp_tpu.config import MeshConfig
+    from irp_tpu.infer import make_predictor
+    from irp_tpu.parallel.mesh import make_mesh
+    from irp_tpu.serve import make_server
+
+    mesh = make_mesh(MeshConfig())
+    dp = make_predictor(
+        {"params": predictor.params, "batch_stats": predictor.batch_stats},
+        cfg=TINY, batch_size=8, mesh=mesh,
+        class_names=["cat", "dog", "fox"])
+    srv = make_server(dp, port=0, window_ms=5.0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(10)
+        blob = _jpeg_bytes(rng)
+        status, body = _post(srv, "/predict", blob, "image/jpeg")
+        assert status == 200
+        from irp_tpu.data.pipeline import decode_blobs
+        expect = int(np.argmax(
+            predictor.predict_probs(decode_blobs([blob])), axis=1)[0])
+        assert body["predictions"][0]["label"] == expect
+    finally:
+        srv.stop()
+
+
 def test_class_name_count_mismatch_rejected(predictor):
     from irp_tpu.serve import make_server
 
