@@ -16,6 +16,10 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
 - a built-in Optuna-style hyperopt engine (TPE sampler, median pruner,
   SQLite storage/resume) (``irp_tpu.hyperopt``)
 - a built-in MLflow-style tracking file store (``irp_tpu.tracking``)
+- a deployment story the reference lacks entirely: batch inference from
+  weights artifacts (``irp_tpu.infer``), a micro-batched online HTTP
+  serving daemon (``irp_tpu.serve``), and Grad-CAM explainability
+  (``irp_tpu.explain``)
 
 Unlike the reference (mutable ``config.py`` module globals, reference
 config.py:8-20), configuration here is immutable dataclasses threaded
