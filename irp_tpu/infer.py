@@ -43,6 +43,17 @@ _BASIC_DEPTHS = {(2, 2, 2, 2): 18, (3, 4, 6, 3): 34}
 _BOTTLENECK_DEPTHS = {(3, 4, 6, 3): 50, (3, 4, 23, 3): 101, (3, 8, 36, 3): 152}
 
 
+def softmax_np(logits: np.ndarray) -> np.ndarray:
+    """Stable host-side softmax over the last axis (float32).
+
+    The one shared implementation for callers that already hold logits
+    (the Grad-CAM paths) — keeps their probabilities numerically
+    consistent with each other."""
+    logits = np.asarray(logits, np.float32)
+    exps = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    return (exps / exps.sum(axis=-1, keepdims=True)).astype(np.float32)
+
+
 def infer_model_config(params: dict, image_size: int = 224,
                        compute_dtype: str = "bfloat16") -> ModelConfig:
     """Reconstruct the ModelConfig a weight tree was trained with.
@@ -218,10 +229,25 @@ class Predictor:
     def predict_paths(self, paths: Sequence[str],
                       decoder: str = "auto") -> PredictionResult:
         """Score image files (JPEG/PNG/...) — see :meth:`decode_paths`
-        for the decode contract."""
+        for the decode contract.
+
+        Streams in decode-chunks: host memory stays O(chunk), not
+        O(dataset) — a 26k-image corpus would otherwise hold ~5 GB of
+        decoded uint8 before the first forward.
+        """
         paths = list(paths)
-        return self.predict(self.decode_paths(paths, decoder=decoder),
-                            keys=paths)
+        chunk = max(self.batch_size, 1024)
+        probs_parts = []
+        for start in range(0, len(paths), chunk):
+            part = self.decode_paths(paths[start:start + chunk],
+                                     decoder=decoder)
+            probs_parts.append(self.predict_probs(part))
+        probs = (np.concatenate(probs_parts, axis=0) if probs_parts
+                 else np.zeros((0, self.num_classes), np.float32))
+        return PredictionResult(
+            labels=np.argmax(probs, axis=1).astype(np.int32)
+            if len(probs) else np.zeros(0, np.int32),
+            probs=probs, class_names=self.class_names, keys=paths)
 
     def predict_shards(self, shard_paths: Sequence[str] | str,
                        decoder: str = "auto"
@@ -250,8 +276,18 @@ class Predictor:
             else:
                 shard_paths = [shard_paths]
 
-        blobs, keys, truths = [], [], []
+        # stream in decode-chunks: host memory O(chunk), not O(dataset)
+        chunk = max(self.batch_size, 1024)
+        blobs, keys, truths, probs_parts = [], [], [], []
         have_truth = True
+
+        def flush():
+            if blobs:
+                probs_parts.append(
+                    self.predict_probs(decode_blobs(blobs,
+                                                    decoder=decoder)))
+                blobs.clear()
+
         for sample in iter_samples(shard_paths):
             jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
             if jpg is None:
@@ -263,14 +299,19 @@ class Predictor:
             else:
                 truths.append(int(cls))
             blobs.append(jpg)
-        if not blobs:
+            if len(blobs) >= chunk:
+                flush()
+        flush()
+        if not keys:
             empty = PredictionResult(np.zeros(0, np.int32),
                                      np.zeros((0, self.num_classes),
                                               np.float32),
                                      self.class_names, [])
             return empty, None
-        result = self.predict(decode_blobs(blobs, decoder=decoder),
-                              keys=keys)
+        probs = np.concatenate(probs_parts, axis=0)
+        result = PredictionResult(
+            labels=np.argmax(probs, axis=1).astype(np.int32), probs=probs,
+            class_names=self.class_names, keys=keys)
         truth = (np.asarray(truths, np.int32)
                  if have_truth and len(truths) == len(keys) else None)
         return result, truth

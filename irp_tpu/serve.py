@@ -56,6 +56,19 @@ from irp_tpu.infer import Predictor
 _STOP = object()
 
 
+def latency_percentiles(latencies_ms, qs=(0.50, 0.90, 0.99),
+                        digits: int = 3) -> Optional[dict]:
+    """{"p50": ..., ...} nearest-rank percentiles, or None if empty.
+
+    The one shared implementation for /stats, explain stats, and the
+    serving loadgen (tools/bench_serve.py)."""
+    lat = sorted(latencies_ms)
+    if not lat:
+        return None
+    return {f"p{int(q * 100)}": round(
+        lat[min(int(q * len(lat)), len(lat) - 1)], digits) for q in qs}
+
+
 class ServerOverloadedError(RuntimeError):
     """The request queue is full — shed load instead of growing it."""
 
@@ -111,6 +124,7 @@ class MicroBatcher:
                             if max_pending is None else int(max_pending))
         self._queue: queue.Queue = queue.Queue(maxsize=self.max_pending)
         self._thread: Optional[threading.Thread] = None
+        self._stopped = False
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "batches": 0,
                        "batch_images_sum": 0, "errors": 0, "rejected": 0,
@@ -128,8 +142,18 @@ class MicroBatcher:
         self._thread.start()
 
     def stop(self, timeout: float = 10.0) -> None:
+        # flag first: new submits reject immediately, and _run's polling
+        # get() notices even when the sentinel can't be enqueued
+        self._stopped = True
         if self._thread is not None:
-            self._queue.put(_STOP)
+            try:
+                # fast-path wake; NEVER a blocking put — a full queue
+                # with the dispatch thread stuck on a hung device (the
+                # documented wedged-tunnel mode) would hang stop()
+                # forever before its join timeout even started
+                self._queue.put_nowait(_STOP)
+            except queue.Full:
+                pass
             self._thread.join(timeout)
             self._thread = None
         # anything still queued (incl. a never-started batcher) must not
@@ -170,6 +194,8 @@ class MicroBatcher:
             raise ValueError(
                 f"images are {h}x{w} but the model's eval crop is "
                 f"{crop}x{crop}")
+        if self._stopped:
+            raise RuntimeError("batcher stopped")
         pending = _Pending(images=images_u8)
         try:
             self._queue.put_nowait(pending)
@@ -178,6 +204,10 @@ class MicroBatcher:
                 self._stats["rejected"] += 1
             raise ServerOverloadedError(
                 f"request queue full ({self.max_pending} pending)") from None
+        if self._stopped:
+            # raced stop(): its drain may already have run, so nothing
+            # would ever service this pending — reject everything queued
+            self._drain_reject(RuntimeError("batcher stopped"))
         with self._lock:
             self._stats["requests"] += 1
             self._stats["images"] += int(images_u8.shape[0])
@@ -191,7 +221,16 @@ class MicroBatcher:
     # -- dispatch thread ---------------------------------------------------
     def _run(self) -> None:
         while True:
-            item = self._queue.get()
+            try:
+                # polling get: stop() may be unable to enqueue its
+                # sentinel (full queue), so the flag must be observable
+                # without one
+                item = self._queue.get(timeout=0.25)
+            except queue.Empty:
+                if self._stopped:
+                    self._drain_reject(RuntimeError("batcher stopped"))
+                    return
+                continue
             if item is _STOP:
                 self._drain_reject(RuntimeError("batcher stopped"))
                 return
@@ -264,11 +303,9 @@ class MicroBatcher:
             lat = sorted(self._latencies_ms)
         s["mean_batch_fill"] = (s["batch_images_sum"] / s["batches"]
                                 if s["batches"] else 0.0)
-        if lat:
-            pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]  # noqa: E731
-            s["latency_ms"] = {"p50": round(pick(0.50), 3),
-                               "p90": round(pick(0.90), 3),
-                               "p99": round(pick(0.99), 3)}
+        pcts = latency_percentiles(lat)
+        if pcts is not None:
+            s["latency_ms"] = pcts
         return s
 
 
@@ -418,6 +455,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": f"class must be in "
                                            f"[0, {num_classes})"})
             return
+        if not self.server._explain_slots.acquire(blocking=False):
+            self._send_json(503, {"error": "explain capacity saturated; "
+                                           "retry shortly"})
+            return
         t0 = time.monotonic()
         try:
             cams, logits = self.server.gradcam().explain(
@@ -427,10 +468,13 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             self._send_json(500, {"error": f"explain failed: {e}"})
             return
+        finally:
+            self.server._explain_slots.release()
         self.server.record_explain(int(images.shape[0]),
                                    (time.monotonic() - t0) * 1e3)
-        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs /= probs.sum(axis=1, keepdims=True)
+        from irp_tpu.infer import softmax_np
+
+        probs = softmax_np(logits)
         crop = self.server.batcher.predictor.model.config.image_size
         cropped = center_crop_u8(images, crop)
         names = self.server.class_names
@@ -470,6 +514,7 @@ class InferenceServer(ThreadingHTTPServer):
                  class_names=None, decoder: str = "auto",
                  request_timeout_s: float = 60.0,
                  max_request_bytes: int = 64 * 1024 * 1024,
+                 max_concurrent_explains: int = 2,
                  verbose: bool = False):
         self.batcher = batcher
         self.class_names = list(class_names) if class_names else None
@@ -488,6 +533,12 @@ class InferenceServer(ThreadingHTTPServer):
         self._gradcam_lock = threading.Lock()
         self._explain_stats = {"requests": 0, "images": 0}
         self._explain_latencies_ms: deque = deque(maxlen=1024)
+        # /explain bypasses the micro-batcher (handler-thread dispatch),
+        # so IT needs its own overload bound: without one, a burst of
+        # explain traffic piles unbounded concurrent forwards + decoded
+        # arrays while /predict sheds load properly
+        self._explain_slots = threading.BoundedSemaphore(
+            max(1, int(max_concurrent_explains)))
         super().__init__(address, _Handler)
 
     def gradcam(self):
@@ -513,11 +564,10 @@ class InferenceServer(ThreadingHTTPServer):
     def explain_stats(self) -> dict:
         with self._gradcam_lock:
             s = dict(self._explain_stats)
-            lat = sorted(self._explain_latencies_ms)
-        if lat:
-            pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]  # noqa: E731
-            s["latency_ms"] = {"p50": round(pick(0.50), 3),
-                               "p99": round(pick(0.99), 3)}
+            lat = list(self._explain_latencies_ms)
+        pcts = latency_percentiles(lat)
+        if pcts is not None:
+            s["latency_ms"] = pcts
         return s
 
     @property

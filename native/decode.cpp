@@ -198,7 +198,10 @@ extern "C" {
 
 // Decode + resize a batch. jpegs: n pointers; sizes: n byte counts;
 // out: (n, out_size, out_size, 3) uint8 buffer; ok: n int flags (1 =
-// decoded, 0 = failed — the slot is zero-filled).  Returns #failures.
+// decoded, 0 = failed — the slot is left UNTOUCHED: the caller may
+// pre-fill `out` (e.g. a cache being rebuilt in place) and handles
+// failed rows itself via the ok flags; passing an uninitialized
+// buffer means failed rows contain garbage).  Returns #failures.
 int irp_decode_resize_batch(const uint8_t** jpegs, const long* sizes, int n,
                             uint8_t* out, int out_size, int* ok,
                             int n_threads) {

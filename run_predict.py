@@ -113,14 +113,12 @@ def main(argv=None):
             # them for the CSV guarantees the overlay explains exactly
             # the reported class (a second predict() forward could
             # argmax differently on near-ties)
-            from irp_tpu.infer import PredictionResult
+            from irp_tpu.infer import PredictionResult, softmax_np
             from irp_tpu.explain import GradCAM
 
             decoded = predictor.decode_paths(paths, decoder=args.decoder)
             cams, logits = GradCAM(predictor).explain(decoded)
-            exps = np.exp(logits - logits.max(axis=1, keepdims=True))
-            probs = (exps / exps.sum(axis=1, keepdims=True)).astype(
-                np.float32)
+            probs = softmax_np(logits)
             result = PredictionResult(
                 labels=np.argmax(probs, axis=1).astype(np.int32),
                 probs=probs, class_names=class_names, keys=paths)

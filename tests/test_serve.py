@@ -10,6 +10,7 @@ base64 / topk / stats / error paths) end-to-end over a real socket.
 import base64
 import io
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -389,11 +390,12 @@ def test_run_serve_cli_e2e(tmp_path, predictor):
     from irp_tpu.train.checkpoint import save_weights_npz
     from irp_tpu.utils.subproc import cpu_child_env
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     weights = tmp_path / "w.npz"
     save_weights_npz(str(weights), predictor.params, predictor.batch_stats,
                      meta={"image_size": 32})
     proc = subprocess.Popen(
-        [sys.executable, "/root/repo/run_serve.py", "--weights",
+        [sys.executable, os.path.join(repo, "run_serve.py"), "--weights",
          str(weights), "--classes", "cat,dog,fox", "--port", "0",
          "--cpu", "--batch-size", "4"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

@@ -177,9 +177,8 @@ def main(argv=None):
                 f"http://127.0.0.1:{port}/stats", timeout=60) as r:
             stats = json.loads(r.read())
 
-        lat = sorted(latencies)
-        pick = (lambda q: round(lat[min(int(q * len(lat)),
-                                        len(lat) - 1)], 2)) if lat else None
+        from irp_tpu.serve import latency_percentiles
+
         result = {
             "metric": "serve_imgs_per_sec",
             "value": round(len(latencies) / max(elapsed, 1e-9), 1),
@@ -190,8 +189,7 @@ def main(argv=None):
             "window_ms": args.window_ms,
             "depth": args.depth, "image_size": args.image_size,
             "mean_batch_fill": round(stats.get("mean_batch_fill", 0), 2),
-            "latency_ms": ({"p50": pick(0.50), "p90": pick(0.90),
-                            "p99": pick(0.99)} if lat else None),
+            "latency_ms": latency_percentiles(latencies, digits=2),
         }
         if errors:
             result["first_error"] = errors[0]
