@@ -94,6 +94,12 @@ class GradCAM:
     def __init__(self, predictor, batch_size: Optional[int] = None):
         import threading
 
+        if getattr(predictor.model, "apply", None) is None:
+            raise ValueError(
+                "Grad-CAM needs the model's live forward to differentiate "
+                "through; an exported .irpx artifact carries only the "
+                "compiled program — serve Grad-CAM from the .npz/.pth "
+                "weights artifact instead")
         self.predictor = predictor
         self.batch_size = (predictor.batch_size if batch_size is None
                            else int(batch_size))

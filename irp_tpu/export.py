@@ -1,0 +1,165 @@
+"""Portable AOT model export — serialized StableHLO serving artifacts.
+
+The reference's only deployment artifact is a torch ``state_dict``
+(reference functions/final.py:339-354): loading it requires the full
+model class, torchvision, and a matching python environment.  This
+module is the TPU-native step past that: ``jax.export`` serializes the
+predictor's ENTIRE compiled inference program — eval preprocessing +
+ResNet forward + softmax — as versioned StableHLO, so a server can
+score images with no model code on the hot path, and an artifact
+exported on a CPU host runs unchanged on a TPU host (multi-platform
+lowering, default ``platforms=("cpu", "tpu")``).
+
+Artifact layout (``.irpx`` — a plain zip):
+
+    program.shlo   jax.export serialization of
+                   ``forward(params, batch_stats, images_u8) -> probs``
+    weights.npz    the weight tree (train/checkpoint.py flat-npz format)
+    meta.json      batch/source geometry, class names, format version
+
+The exported program has FIXED shapes (the XLA/TPU contract the rest of
+this framework already follows): batches of exactly ``batch_size``
+images at exactly ``source_size``² uint8 pixels.  The loader re-wraps
+it in :class:`irp_tpu.infer.Predictor`, whose padding loop already
+produces full fixed-shape batches; the exact-source-size requirement is
+enforced with a loud error (``Predictor.source_size``).
+
+Weights ride OUTSIDE the program (as arguments, not baked constants):
+the StableHLO blob stays ~100 KB instead of embedding ~100 MB of
+ResNet50 parameters, and the weights remain independently inspectable
+(`np.load`) and upgradable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import zipfile
+from types import SimpleNamespace
+from typing import Optional, Sequence
+
+import numpy as np
+
+FORMAT_VERSION = 1
+_PROGRAM_MEMBER = "program.shlo"
+_WEIGHTS_MEMBER = "weights.npz"
+_META_MEMBER = "meta.json"
+
+
+def _specs_like(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.result_type(a)), tree)
+
+
+def export_predictor(predictor, path: str, source_size: Optional[int] = None,
+                     platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+    """Serialize a :class:`~irp_tpu.infer.Predictor` to a ``.irpx`` file.
+
+    ``source_size`` fixes the input geometry the program accepts
+    (default: the cache contract's 256, or the eval crop if larger).
+    ``platforms`` lists every backend the program is lowered for —
+    exporting from this CPU host for TPU serving works because
+    jax.export cross-lowers without executing.
+    """
+    import jax
+    from jax import export as jax_export
+
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    if predictor.mesh is not None:
+        raise ValueError(
+            "mesh predictors cannot be exported: jax.export bakes the "
+            "mesh's device assignment into the program; export a "
+            "single-device predictor instead")
+    cfg = predictor.model.config
+    if source_size is None:
+        source_size = max(256, cfg.image_size)
+    if source_size < cfg.image_size:
+        raise ValueError(
+            f"source_size {source_size} is smaller than the model's eval "
+            f"crop {cfg.image_size}")
+    images_spec = jax.ShapeDtypeStruct(
+        (predictor.batch_size, source_size, source_size, 3), np.uint8)
+    exported = jax_export.export(
+        predictor._forward, platforms=list(platforms))(
+            _specs_like(predictor.params), _specs_like(predictor.batch_stats),
+            images_spec)
+    meta = {
+        "format": "irpx",
+        "format_version": FORMAT_VERSION,
+        "batch_size": int(predictor.batch_size),
+        "source_size": int(source_size),
+        "image_size": int(cfg.image_size),
+        "num_classes": int(cfg.num_classes),
+        "class_names": (list(predictor.class_names)
+                        if predictor.class_names is not None else None),
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    tmp = path + ".tmp"
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            weights = save_weights_npz(os.path.join(td, "w.npz"),
+                                       predictor.params,
+                                       predictor.batch_stats)
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+                zf.writestr(_META_MEMBER, json.dumps(meta, indent=1))
+                zf.writestr(_PROGRAM_MEMBER, exported.serialize())
+                zf.write(weights, _WEIGHTS_MEMBER)
+        os.replace(tmp, path)  # never leave a half-written artifact
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path
+
+
+def read_export_meta(path: str) -> dict:
+    """The artifact's ``meta.json`` without deserializing the program."""
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read(_META_MEMBER))
+    if meta.get("format") != "irpx":
+        raise ValueError(f"{path}: not an irpx artifact")
+    return meta
+
+
+def load_exported_predictor(path: str,
+                            class_names: Optional[Sequence[str]] = None):
+    """Rebuild a servable :class:`~irp_tpu.infer.Predictor` from ``.irpx``.
+
+    No model code runs: the deserialized program IS the forward.  The
+    returned predictor scores exactly like the one that was exported
+    (same padding loop, same preprocessing — it is inside the program),
+    but requires sources of exactly the exported ``source_size`` and
+    cannot take a mesh or serve Grad-CAM (those need the live model).
+    """
+    import jax
+    from jax import export as jax_export
+
+    from irp_tpu.infer import Predictor, infer_model_config
+    from irp_tpu.train.checkpoint import load_weights_npz
+
+    meta = read_export_meta(path)
+    if meta.get("format_version", 0) > FORMAT_VERSION:
+        raise ValueError(
+            f"{path}: format_version {meta['format_version']} is newer "
+            f"than this loader ({FORMAT_VERSION})")
+    with zipfile.ZipFile(path) as zf:
+        program = zf.read(_PROGRAM_MEMBER)
+        with tempfile.TemporaryDirectory() as td:
+            params, batch_stats, _ = load_weights_npz(
+                zf.extract(_WEIGHTS_MEMBER, td), with_meta=True)
+    exported = jax_export.deserialize(program)
+    # cfg gives the Predictor its geometry/class metadata; the program
+    # itself never consults it (jit of exported.call re-dispatches the
+    # serialized computation as-is)
+    cfg = infer_model_config(params, image_size=int(meta["image_size"]))
+    names = class_names if class_names is not None else meta["class_names"]
+    return Predictor(
+        model=SimpleNamespace(config=cfg),  # no .apply: compiled-only
+        params=params, batch_stats=batch_stats, class_names=names,
+        batch_size=int(meta["batch_size"]),
+        source_size=int(meta["source_size"]),
+        _forward=jax.jit(exported.call))

@@ -122,6 +122,7 @@ class Predictor:
     class_names: Optional[Sequence[str]] = None
     batch_size: int = 256
     mesh: Optional[object] = None
+    source_size: Optional[int] = None  # exact HxW a prebuilt program needs
     _forward: object = field(default=None, repr=False)
     _batch_sharding: object = field(default=None, repr=False)
 
@@ -130,6 +131,18 @@ class Predictor:
         import jax.numpy as jnp
 
         from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+        if self._forward is not None:
+            # A prebuilt program (e.g. a deserialized jax.export artifact,
+            # irp_tpu/export.py): batch shape, preprocessing, and platform
+            # are baked into the program, so there is nothing to build —
+            # and mesh re-placement cannot apply to it.
+            if self.mesh is not None:
+                raise ValueError(
+                    "a prebuilt-forward predictor cannot take a mesh: the "
+                    "exported program's device assignment is fixed; load "
+                    "the .npz/.pth weights with mesh= instead")
+            return
 
         cfg = self.model.config
         out_size = cfg.image_size
@@ -184,6 +197,15 @@ class Predictor:
                 f"{out_size}x{out_size}; supply sources at least that "
                 "large (the cache contract decodes to 256x256, "
                 "data/pipeline.py::decode_to_rgb256)")
+        if (self.source_size is not None
+                and (h, w) != (self.source_size, self.source_size)):
+            # exported programs have a FIXED input shape; a mismatched
+            # source would die inside XLA with an opaque shape error
+            raise ValueError(
+                f"this exported program requires sources of exactly "
+                f"{self.source_size}x{self.source_size}, got {h}x{w} "
+                "(re-export with a different source_size, or decode to "
+                "the cache geometry first)")
         n = images_u8.shape[0]
         if n == 0:
             return np.zeros((0, self.num_classes), np.float32)
@@ -350,6 +372,9 @@ def load_predictor(weights_path: str,
     stack's fine-tuned AnimalClassifier (head keys ``classifier.1/4``,
     reference functions/model.py:30-36).  A backbone-only torchvision
     checkpoint is rejected: a randomly-initialized head must never serve.
+    ``.irpx`` = a jax.export AOT artifact (irp_tpu/export.py): the
+    compiled program is deserialized as-is, so ``cfg``/``image_size``/
+    ``batch_size`` are baked in and those arguments are ignored.
 
     The eval crop size comes from (highest wins): explicit ``cfg``, the
     ``image_size`` argument, the npz artifact's embedded metadata (written
@@ -358,6 +383,14 @@ def load_predictor(weights_path: str,
     the right preprocessing automatically from their own artifact.
     """
     ext = os.path.splitext(weights_path)[1].lower()
+    if ext == ".irpx":
+        from irp_tpu.export import load_exported_predictor
+        if mesh is not None:
+            raise ValueError(
+                ".irpx artifacts are fixed single-device programs; load "
+                "the .npz/.pth weights with mesh= instead")
+        return load_exported_predictor(weights_path,
+                                       class_names=class_names)
     if ext == ".npz":
         from irp_tpu.train.checkpoint import load_weights_npz
         params, batch_stats, meta = load_weights_npz(weights_path,

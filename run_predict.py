@@ -42,9 +42,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weights", required=True,
                    help="final-weights artifact (.npz or torch .pth)")
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group()
     src.add_argument("--images", help="image file glob or directory")
     src.add_argument("--shards", help="WebDataset shard glob")
+    p.add_argument("--export", default=None, metavar="PATH.irpx",
+                   help="instead of scoring: AOT-export the compiled "
+                        "inference program (StableHLO, irp_tpu/export.py) "
+                        "+ weights + metadata to one .irpx artifact that "
+                        "serves with no model code (run_serve/run_predict "
+                        "accept it as --weights); lowered for CPU and TPU")
+    p.add_argument("--export-source-size", type=int, default=None,
+                   help="input geometry the exported program accepts "
+                        "(default: the 256px cache contract, or the eval "
+                        "crop if larger)")
     p.add_argument("--classes", default=None,
                    help="class names: JSON file or comma-separated list")
     p.add_argument("--batch-size", type=int, default=256)
@@ -65,8 +75,19 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
+    # pure arg validation — before the expensive weight load
+    if args.export is None and not (args.images or args.shards):
+        print("error: one of --images / --shards is required "
+              "(or --export)", file=sys.stderr)
+        return 2
+    if args.export and (args.images or args.shards or args.gradcam):
+        print("error: --export is a standalone mode", file=sys.stderr)
+        return 2
+    if args.export and args.data_parallel:
+        print("error: --export bakes a single-device program; "
+              "drop --data-parallel", file=sys.stderr)
+        return 2
     if args.gradcam and not args.images:
-        # pure arg validation — before the expensive weight load
         print("error: --gradcam requires --images mode", file=sys.stderr)
         return 2
 
@@ -100,6 +121,21 @@ def main(argv=None):
         print(f"error: {len(class_names)} class names for a "
               f"{predictor.num_classes}-class model", file=sys.stderr)
         return 2
+
+    if args.export:
+        if getattr(predictor.model, "apply", None) is None:
+            print("error: --weights is already an exported artifact",
+                  file=sys.stderr)
+            return 2
+        from irp_tpu.export import export_predictor
+
+        out = export_predictor(predictor, args.export,
+                               source_size=args.export_source_size)
+        print(json.dumps({
+            "exported": out, "bytes": os.path.getsize(out),
+            "batch_size": predictor.batch_size,
+            "num_classes": predictor.num_classes}))
+        return 0
 
     truth = None
     t0 = time.perf_counter()

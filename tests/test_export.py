@@ -1,0 +1,248 @@
+"""AOT export artifacts (irp_tpu/export.py, .irpx).
+
+The reference's deployment artifact is a torch state_dict needing the
+model class + torchvision to load (reference functions/final.py:339-354).
+These tests lock the net-new contract: the full compiled inference
+program (preprocess + forward + softmax) serializes to one portable
+file, reloads without running any model code, and scores identically.
+"""
+
+import json
+import zipfile
+
+import jax
+import numpy as np
+import pytest
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.models.classifier import init_classifier
+
+TINY = ModelConfig(depth=18, num_classes=3, image_size=32, hidden_dim=16,
+                   compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    from irp_tpu.infer import make_predictor
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                   image_size=32)
+    return make_predictor(variables, cfg=TINY, batch_size=4,
+                          class_names=["a", "b", "c"])
+
+
+@pytest.fixture(scope="module")
+def images48():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (5, 48, 48, 3), dtype=np.uint8)
+
+
+def test_export_roundtrip_scores_identically(tiny_predictor, images48,
+                                             tmp_path):
+    from irp_tpu.export import export_predictor, load_exported_predictor
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    loaded = load_exported_predictor(path)
+    # same platform, same program: bit-exact, including the padded tail
+    # batch (5 images through a fixed batch-4 program)
+    np.testing.assert_array_equal(loaded.predict_probs(images48),
+                                  tiny_predictor.predict_probs(images48))
+    assert loaded.batch_size == 4
+    assert loaded.class_names == ["a", "b", "c"]
+    result = loaded.predict(images48)
+    assert result.label_names() == [["a", "b", "c"][i]
+                                    for i in result.labels]
+
+
+def test_export_is_cross_platform_by_default(tiny_predictor, tmp_path):
+    """The default export lowers for BOTH cpu and tpu from this CPU host
+    (jax.export cross-lowering) — export once, serve on the chip."""
+    from irp_tpu.export import export_predictor, read_export_meta
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    meta = read_export_meta(path)
+    assert set(meta["platforms"]) == {"cpu", "tpu"}
+    assert meta["batch_size"] == 4 and meta["source_size"] == 48
+    assert meta["image_size"] == 32 and meta["num_classes"] == 3
+    # the artifact is a plain zip with weights independently inspectable
+    with zipfile.ZipFile(path) as zf:
+        assert {"program.shlo", "weights.npz", "meta.json"} <= \
+            set(zf.namelist())
+
+
+def test_load_predictor_dispatches_irpx(tiny_predictor, images48, tmp_path):
+    from irp_tpu.export import export_predictor
+    from irp_tpu.infer import load_predictor
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    loaded = load_predictor(path)
+    np.testing.assert_array_equal(loaded.predict_probs(images48),
+                                  tiny_predictor.predict_probs(images48))
+    # explicit class names outrank the artifact's embedded ones
+    assert load_predictor(path,
+                          class_names=["x", "y", "z"]).class_names == \
+        ["x", "y", "z"]
+    # mesh serving needs the live weights artifact, not a baked program
+    from irp_tpu.config import MeshConfig
+    from irp_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="single-device"):
+        load_predictor(path, mesh=make_mesh(MeshConfig()))
+
+
+def test_exported_source_size_enforced(tiny_predictor, tmp_path):
+    from irp_tpu.export import export_predictor, load_exported_predictor
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    loaded = load_exported_predictor(path)
+    with pytest.raises(ValueError, match="exactly 48x48"):
+        loaded.predict_probs(np.zeros((2, 64, 64, 3), np.uint8))
+
+
+def test_export_rejects_bad_requests(tiny_predictor, tmp_path):
+    from irp_tpu.config import MeshConfig
+    from irp_tpu.export import export_predictor
+    from irp_tpu.infer import make_predictor
+    from irp_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="smaller than the model's eval"):
+        export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                         source_size=16)
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                   image_size=32)
+    mesh_pred = make_predictor(variables, cfg=TINY, batch_size=8,
+                               mesh=make_mesh(MeshConfig()))
+    with pytest.raises(ValueError, match="mesh"):
+        export_predictor(mesh_pred, str(tmp_path / "m.irpx"),
+                         source_size=48)
+
+
+def test_exported_predictor_rejects_gradcam(tiny_predictor, tmp_path):
+    from irp_tpu.explain import GradCAM
+    from irp_tpu.export import export_predictor, load_exported_predictor
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    with pytest.raises(ValueError, match="Grad-CAM"):
+        GradCAM(load_exported_predictor(path))
+
+
+def test_format_guards(tiny_predictor, tmp_path):
+    from irp_tpu.export import (export_predictor, load_exported_predictor,
+                                read_export_meta)
+
+    # not an irpx zip
+    bogus = tmp_path / "bogus.irpx"
+    with zipfile.ZipFile(bogus, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="not an irpx"):
+        read_export_meta(str(bogus))
+
+    # a future format version must refuse loudly, not misparse
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    meta = json.loads(members["meta.json"])
+    meta["format_version"] = 999
+    members["meta.json"] = json.dumps(meta)
+    future = tmp_path / "future.irpx"
+    with zipfile.ZipFile(future, "w") as zf:
+        for name, blob in members.items():
+            zf.writestr(name, blob)
+    with pytest.raises(ValueError, match="newer"):
+        load_exported_predictor(str(future))
+
+
+def test_serving_daemon_from_exported_artifact(tiny_predictor, tmp_path):
+    """The online daemon serves a .irpx with no model code: requests
+    decode to the 256px cache contract, which is the export default, so
+    the two compose; /explain refuses cleanly (needs the live model)."""
+    import io
+    import json as jsonmod
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from irp_tpu.export import export_predictor, load_exported_predictor
+    from irp_tpu.serve import make_server
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"))
+    srv = make_server(load_exported_predictor(path), port=0,
+                      window_ms=5.0)
+    srv.start()
+    try:
+        buf = io.BytesIO()
+        rng = np.random.default_rng(9)
+        Image.fromarray(rng.integers(0, 256, (64, 64, 3),
+                                     dtype=np.uint8)).save(buf, "JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "image/jpeg"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            payload = jsonmod.loads(r.read())
+        assert r.status == 200
+        (pred,) = payload["predictions"]
+        assert pred["label_name"] in ("a", "b", "c")
+        assert 0.0 < pred["topk"][0]["prob"] <= 1.0
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/explain", data=buf.getvalue(),
+            headers={"Content-Type": "image/jpeg"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 500
+        assert "Grad-CAM" in jsonmod.loads(err.value.read())["error"]
+    finally:
+        srv.stop()
+
+
+def test_run_predict_export_cli_e2e(tmp_path, capsys):
+    """Export via the CLI, then score images through the .irpx — the
+    default source geometry (256, the cache contract) must line up with
+    predict_paths' decode so the two CLIs compose."""
+    from PIL import Image
+
+    import run_predict
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(1),
+                                   image_size=32)
+    weights = save_weights_npz(str(tmp_path / "w.npz"),
+                               variables["params"],
+                               variables["batch_stats"],
+                               meta={"image_size": 32})
+    art = str(tmp_path / "model.irpx")
+    rc = run_predict.main(["--weights", weights, "--export", art,
+                           "--cpu", "--batch-size", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported"] == art and summary["bytes"] > 0
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (80, 80, 3),
+                                     dtype=np.uint8)).save(
+            img_dir / f"x{i}.jpg")
+    out = str(tmp_path / "preds.csv")
+    rc = run_predict.main(["--weights", art, "--images", str(img_dir),
+                           "--classes", "cat,dog,fox", "--out", out,
+                           "--cpu"])
+    assert rc == 0
+    with open(out) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 4  # header + 3 rows
+
+    # arg validation: export is standalone, and no sources without it
+    assert run_predict.main(["--weights", weights]) == 2
+    assert run_predict.main(["--weights", weights, "--export", art,
+                             "--images", str(img_dir)]) == 2
+    assert run_predict.main(["--weights", art, "--export",
+                             str(tmp_path / "again.irpx"), "--cpu"]) == 2
