@@ -55,20 +55,29 @@ def _specs_like(tree):
 
 
 def export_predictor(predictor, path: str, source_size: Optional[int] = None,
-                     platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+                     platforms: Sequence[str] = ("cpu", "tpu", "axon")) -> str:
     """Serialize a :class:`~irp_tpu.infer.Predictor` to a ``.irpx`` file.
 
     ``source_size`` fixes the input geometry the program accepts
-    (default: the cache contract's 256, or the eval crop if larger).
+    (default: the cache contract's 256, or the eval crop if larger —
+    note run_serve/run_predict decode requests to exactly 256, so a
+    non-256 artifact is usable only through the Python API).
     ``platforms`` lists every backend the program is lowered for —
-    exporting from this CPU host for TPU serving works because
-    jax.export cross-lowers without executing.
+    exporting from a CPU host for TPU serving works because jax.export
+    cross-lowers without executing.  'axon' is included by default so
+    the artifact also passes jax.export's call-time platform check on
+    hosts that reach the TPU through the axon PJRT tunnel.
     """
     import jax
     from jax import export as jax_export
 
     from irp_tpu.train.checkpoint import save_weights_npz
 
+    if getattr(predictor.model, "apply", None) is None:
+        raise ValueError(
+            "this predictor was itself loaded from an exported artifact; "
+            "re-export from the .npz/.pth weights instead of nesting "
+            "programs")
     if predictor.mesh is not None:
         raise ValueError(
             "mesh predictors cannot be exported: jax.export bakes the "
@@ -102,9 +111,14 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
     tmp = path + ".tmp"
     try:
         with tempfile.TemporaryDirectory() as td:
+            # image_size meta rides along so the weights.npz member is a
+            # complete standalone artifact too (same convention as the
+            # final trainer's npz — a non-default crop must survive)
             weights = save_weights_npz(os.path.join(td, "w.npz"),
                                        predictor.params,
-                                       predictor.batch_stats)
+                                       predictor.batch_stats,
+                                       meta={"image_size":
+                                             int(cfg.image_size)})
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
                 zf.writestr(_META_MEMBER, json.dumps(meta, indent=1))
                 zf.writestr(_PROGRAM_MEMBER, exported.serialize())
@@ -118,8 +132,14 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
 
 def read_export_meta(path: str) -> dict:
     """The artifact's ``meta.json`` without deserializing the program."""
-    with zipfile.ZipFile(path) as zf:
-        meta = json.loads(zf.read(_META_MEMBER))
+    try:
+        with zipfile.ZipFile(path) as zf:
+            meta = json.loads(zf.read(_META_MEMBER))
+    except (zipfile.BadZipFile, KeyError, json.JSONDecodeError) as e:
+        # truncated download / wrong file: one clean error, not a
+        # zipfile traceback
+        raise ValueError(f"{path}: not a readable irpx artifact "
+                         f"({e})") from e
     if meta.get("format") != "irpx":
         raise ValueError(f"{path}: not an irpx artifact")
     return meta
@@ -146,11 +166,15 @@ def load_exported_predictor(path: str,
         raise ValueError(
             f"{path}: format_version {meta['format_version']} is newer "
             f"than this loader ({FORMAT_VERSION})")
-    with zipfile.ZipFile(path) as zf:
-        program = zf.read(_PROGRAM_MEMBER)
-        with tempfile.TemporaryDirectory() as td:
-            params, batch_stats, _ = load_weights_npz(
-                zf.extract(_WEIGHTS_MEMBER, td), with_meta=True)
+    try:
+        with zipfile.ZipFile(path) as zf:
+            program = zf.read(_PROGRAM_MEMBER)
+            with tempfile.TemporaryDirectory() as td:
+                params, batch_stats, _ = load_weights_npz(
+                    zf.extract(_WEIGHTS_MEMBER, td), with_meta=True)
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError(f"{path}: not a readable irpx artifact "
+                         f"({e})") from e
     exported = jax_export.deserialize(program)
     # cfg gives the Predictor its geometry/class metadata; the program
     # itself never consults it (jit of exported.call re-dispatches the

@@ -76,7 +76,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # pure arg validation — before the expensive weight load
-    if args.export is None and not (args.images or args.shards):
+    if not args.export and not (args.images or args.shards):
         print("error: one of --images / --shards is required "
               "(or --export)", file=sys.stderr)
         return 2
@@ -116,6 +116,22 @@ def main(argv=None):
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size)
+    if predictor.source_size is not None:  # an .irpx: shapes are baked
+        if args.batch_size != predictor.batch_size:
+            print(f"note: the artifact fixes batch_size="
+                  f"{predictor.batch_size}; --batch-size "
+                  f"{args.batch_size} is ignored", file=sys.stderr)
+        if args.image_size is not None:
+            print("note: the artifact's compiled crop is "
+                  f"{predictor.model.config.image_size}; --image-size "
+                  "is ignored", file=sys.stderr)
+        if predictor.source_size != 256 and not args.export:
+            print(f"error: this artifact accepts only "
+                  f"{predictor.source_size}x{predictor.source_size} "
+                  "sources, but --images/--shards decode to 256x256; "
+                  "use the Python API or re-export with the default "
+                  "source size", file=sys.stderr)
+            return 2
     if (class_names is not None
             and len(class_names) != predictor.num_classes):
         print(f"error: {len(class_names)} class names for a "
@@ -131,9 +147,17 @@ def main(argv=None):
 
         out = export_predictor(predictor, args.export,
                                source_size=args.export_source_size)
+        from irp_tpu.export import read_export_meta
+
+        source = read_export_meta(out)["source_size"]
+        if source != 256:
+            print(f"note: this artifact accepts only {source}x{source} "
+                  "sources; run_serve/run_predict decode to the 256px "
+                  "cache contract, so it is usable only through the "
+                  "Python API (Predictor.predict_probs)", file=sys.stderr)
         print(json.dumps({
             "exported": out, "bytes": os.path.getsize(out),
-            "batch_size": predictor.batch_size,
+            "batch_size": predictor.batch_size, "source_size": source,
             "num_classes": predictor.num_classes}))
         return 0
 

@@ -77,6 +77,24 @@ def main(argv=None):
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size)
+    if predictor.source_size is not None:  # an .irpx: shapes are baked
+        if predictor.source_size != 256:
+            print(f"error: this artifact accepts only "
+                  f"{predictor.source_size}x{predictor.source_size} "
+                  "sources, but the daemon decodes requests to the "
+                  "256x256 cache contract; re-export with the default "
+                  "source size", file=sys.stderr)
+            return 2
+        if args.batch_size != predictor.batch_size:
+            print(f"note: the artifact fixes batch_size="
+                  f"{predictor.batch_size}; --batch-size "
+                  f"{args.batch_size} is ignored (re-export with "
+                  "--batch-size sized for online traffic — small "
+                  "batches pad less)", file=sys.stderr)
+        if args.image_size is not None:
+            print("note: the artifact's compiled crop is "
+                  f"{predictor.model.config.image_size}; --image-size "
+                  "is ignored", file=sys.stderr)
 
     # Bind the socket FIRST (fails fast on a busy port — make_server
     # does not serve yet), then compile + warm the forward before

@@ -56,14 +56,16 @@ def test_export_roundtrip_scores_identically(tiny_predictor, images48,
 
 
 def test_export_is_cross_platform_by_default(tiny_predictor, tmp_path):
-    """The default export lowers for BOTH cpu and tpu from this CPU host
-    (jax.export cross-lowering) — export once, serve on the chip."""
+    """The default export lowers for cpu AND tpu from this CPU host
+    (jax.export cross-lowering) — export once, serve on the chip — plus
+    'axon' so the call-time platform check passes on hosts that reach
+    the TPU through the axon PJRT tunnel."""
     from irp_tpu.export import export_predictor, read_export_meta
 
     path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
                             source_size=48)
     meta = read_export_meta(path)
-    assert set(meta["platforms"]) == {"cpu", "tpu"}
+    assert set(meta["platforms"]) == {"cpu", "tpu", "axon"}
     assert meta["batch_size"] == 4 and meta["source_size"] == 48
     assert meta["image_size"] == 32 and meta["num_classes"] == 3
     # the artifact is a plain zip with weights independently inspectable
@@ -120,6 +122,33 @@ def test_export_rejects_bad_requests(tiny_predictor, tmp_path):
         export_predictor(mesh_pred, str(tmp_path / "m.irpx"),
                          source_size=48)
 
+    # re-exporting a loaded artifact would nest programs — refuse
+    from irp_tpu.export import load_exported_predictor
+    path = export_predictor(tiny_predictor, str(tmp_path / "m1.irpx"),
+                            source_size=48)
+    with pytest.raises(ValueError, match="re-export"):
+        export_predictor(load_exported_predictor(path),
+                         str(tmp_path / "m2.irpx"), source_size=48)
+
+
+def test_exported_weights_member_is_standalone(tiny_predictor, images48,
+                                               tmp_path):
+    """weights.npz inside the zip is a complete artifact of its own:
+    extracting it and serving via load_predictor must recover the eval
+    crop from embedded metadata (not fall back to 224)."""
+    from irp_tpu.export import export_predictor
+    from irp_tpu.infer import load_predictor
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48)
+    with zipfile.ZipFile(path) as zf:
+        extracted = zf.extract("weights.npz", str(tmp_path))
+    pred = load_predictor(extracted, batch_size=4)
+    assert pred.model.config.image_size == TINY.image_size
+    np.testing.assert_allclose(pred.predict_probs(images48),
+                               tiny_predictor.predict_probs(images48),
+                               rtol=3e-2, atol=5e-3)  # bf16 default cfg
+
 
 def test_exported_predictor_rejects_gradcam(tiny_predictor, tmp_path):
     from irp_tpu.explain import GradCAM
@@ -141,6 +170,19 @@ def test_format_guards(tiny_predictor, tmp_path):
         zf.writestr("meta.json", json.dumps({"format": "other"}))
     with pytest.raises(ValueError, match="not an irpx"):
         read_export_meta(str(bogus))
+
+    # truncated/corrupt file and missing members: one clean ValueError,
+    # not a zipfile traceback
+    trunc = tmp_path / "trunc.irpx"
+    trunc.write_bytes(b"PK\x03\x04 not really a zip")
+    with pytest.raises(ValueError, match="not a readable irpx"):
+        read_export_meta(str(trunc))
+    missing = tmp_path / "missing.irpx"
+    with zipfile.ZipFile(missing, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format": "irpx",
+                                             "format_version": 1}))
+    with pytest.raises(ValueError, match="not a readable irpx"):
+        load_exported_predictor(str(missing))
 
     # a future format version must refuse loudly, not misparse
     path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
@@ -246,3 +288,26 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
                              "--images", str(img_dir)]) == 2
     assert run_predict.main(["--weights", art, "--export",
                              str(tmp_path / "again.irpx"), "--cpu"]) == 2
+    # an empty --export must not silently fall through to scoring mode
+    assert run_predict.main(["--weights", weights, "--export", ""]) == 2
+    capsys.readouterr()
+
+    # a non-256-source artifact cannot be fed by the CLI decode path:
+    # loud exit, not an opaque XLA shape error
+    art48 = str(tmp_path / "m48.irpx")
+    rc = run_predict.main(["--weights", weights, "--export", art48,
+                           "--export-source-size", "48", "--cpu",
+                           "--batch-size", "2"])
+    assert rc == 0
+    assert "Python API" in capsys.readouterr().err  # the export-time note
+    rc = run_predict.main(["--weights", art48, "--images", str(img_dir),
+                           "--cpu"])
+    assert rc == 2
+    assert "256x256" in capsys.readouterr().err
+
+    # run_serve must refuse it at startup (its decode contract is 256),
+    # before binding a socket or compiling anything
+    import run_serve
+    rc = run_serve.main(["--weights", art48, "--cpu", "--port", "0"])
+    assert rc == 2
+    assert "256x256" in capsys.readouterr().err
