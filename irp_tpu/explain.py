@@ -89,24 +89,45 @@ class GradCAM:
     predictor's; pass a smaller one for interactive use — e.g. the
     serving daemon explains single images, and padding each to a bulk
     256-image program would waste ~256x the device work).
+
+    Predictors loaded from a ``.irpx`` artifact (irp_tpu/export.py) are
+    served from the artifact's baked explain program: batch size and
+    source geometry are fixed at export time, and ``batch_size`` here
+    must be omitted or match.
     """
 
     def __init__(self, predictor, batch_size: Optional[int] = None):
         import threading
 
+        self._fns = {}  # out-size keyed (input HxW changes trace anyway)
         if getattr(predictor.model, "apply", None) is None:
-            raise ValueError(
-                "Grad-CAM needs the model's live forward to differentiate "
-                "through; an exported .irpx artifact carries only the "
-                "compiled program — serve Grad-CAM from the .npz/.pth "
-                "weights artifact instead")
+            # an exported .irpx: Grad-CAM works iff the artifact bakes
+            # the explain program (export_predictor(gradcam=True))
+            cam_call = getattr(predictor, "_cam_call", None)
+            if cam_call is None:
+                raise ValueError(
+                    "Grad-CAM needs the model's live forward to "
+                    "differentiate through, and this exported .irpx "
+                    "carries no explain program — re-export with "
+                    "gradcam=True (the default), or serve Grad-CAM from "
+                    "the .npz/.pth weights artifact")
+            baked = int(predictor._cam_batch_size)
+            if batch_size is not None and int(batch_size) != baked:
+                raise ValueError(
+                    f"this artifact's Grad-CAM program fixes "
+                    f"batch_size={baked} (exported via "
+                    f"gradcam_batch_size); got {batch_size}")
+            self.predictor = predictor
+            self.batch_size = baked
+            self._fns[predictor.model.config.image_size] = cam_call
+            self._build_lock = threading.Lock()
+            return
         self.predictor = predictor
         self.batch_size = (predictor.batch_size if batch_size is None
                            else int(batch_size))
         if self.batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, "
                              f"got {self.batch_size}")
-        self._fns = {}  # out-size keyed (input HxW changes trace anyway)
         self._build_lock = threading.Lock()  # one trace+compile per key
 
     def explain(self, images_u8: np.ndarray,
@@ -127,6 +148,13 @@ class GradCAM:
         if h < crop or w < crop:
             raise ValueError(f"images are {h}x{w} but the model's eval "
                              f"crop is {crop}x{crop}")
+        if (p.source_size is not None
+                and (h, w) != (p.source_size, p.source_size)):
+            # an exported explain program has a FIXED input shape, like
+            # the exported forward (infer.Predictor.predict_probs)
+            raise ValueError(
+                f"this exported program requires sources of exactly "
+                f"{p.source_size}x{p.source_size}, got {h}x{w}")
         n = images_u8.shape[0]
         num_classes = p.num_classes
         if class_idx is None:

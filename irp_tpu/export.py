@@ -14,6 +14,10 @@ Artifact layout (``.irpx`` — a plain zip):
 
     program.shlo   jax.export serialization of
                    ``forward(params, batch_stats, images_u8) -> probs``
+    explain.shlo   (optional) the Grad-CAM program
+                   ``(params, batch_stats, images_u8, class_idx) ->
+                   (cams, logits)`` (irp_tpu/explain.py), so exported
+                   artifacts can serve ``/explain`` with no model code
     weights.npz    the weight tree (train/checkpoint.py flat-npz format)
     meta.json      batch/source geometry, class names, format version
 
@@ -43,6 +47,7 @@ import numpy as np
 
 FORMAT_VERSION = 1
 _PROGRAM_MEMBER = "program.shlo"
+_EXPLAIN_MEMBER = "explain.shlo"  # optional: loaders ignore its absence
 _WEIGHTS_MEMBER = "weights.npz"
 _META_MEMBER = "meta.json"
 
@@ -55,7 +60,9 @@ def _specs_like(tree):
 
 
 def export_predictor(predictor, path: str, source_size: Optional[int] = None,
-                     platforms: Sequence[str] = ("cpu", "tpu", "axon")) -> str:
+                     platforms: Sequence[str] = ("cpu", "tpu", "axon"),
+                     gradcam: bool = True,
+                     gradcam_batch_size: Optional[int] = None) -> str:
     """Serialize a :class:`~irp_tpu.infer.Predictor` to a ``.irpx`` file.
 
     ``source_size`` fixes the input geometry the program accepts
@@ -67,6 +74,14 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
     cross-lowers without executing.  'axon' is included by default so
     the artifact also passes jax.export's call-time platform check on
     hosts that reach the TPU through the axon PJRT tunnel.
+
+    ``gradcam=True`` (default) additionally bakes the Grad-CAM program
+    into the artifact so ``/explain`` and ``--gradcam`` work with no
+    model code (explain is interactive traffic, so its program is
+    exported at ``gradcam_batch_size``, default ``min(8, batch_size)``
+    — the same small-batch choice the serving daemon makes for live
+    predictors).  The explain program is ~the size of program.shlo
+    (weights are shared); ``gradcam=False`` omits it.
     """
     import jax
     from jax import export as jax_export
@@ -92,10 +107,28 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
             f"crop {cfg.image_size}")
     images_spec = jax.ShapeDtypeStruct(
         (predictor.batch_size, source_size, source_size, 3), np.uint8)
+    param_specs = _specs_like(predictor.params)
+    stats_specs = _specs_like(predictor.batch_stats)
     exported = jax_export.export(
         predictor._forward, platforms=list(platforms))(
-            _specs_like(predictor.params), _specs_like(predictor.batch_stats),
-            images_spec)
+            param_specs, stats_specs, images_spec)
+    exported_cam = None
+    cam_batch = None
+    if gradcam:
+        from irp_tpu.explain import _build_cam_fn
+
+        cam_batch = (min(8, predictor.batch_size) if gradcam_batch_size
+                     is None else int(gradcam_batch_size))
+        if cam_batch < 1:
+            raise ValueError(f"gradcam_batch_size must be >= 1, "
+                             f"got {cam_batch}")
+        cam_images_spec = jax.ShapeDtypeStruct(
+            (cam_batch, source_size, source_size, 3), np.uint8)
+        class_idx_spec = jax.ShapeDtypeStruct((cam_batch,), np.int32)
+        exported_cam = jax_export.export(
+            _build_cam_fn(predictor.model, cfg.image_size),
+            platforms=list(platforms))(
+                param_specs, stats_specs, cam_images_spec, class_idx_spec)
     meta = {
         "format": "irpx",
         "format_version": FORMAT_VERSION,
@@ -106,6 +139,7 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
         "class_names": (list(predictor.class_names)
                         if predictor.class_names is not None else None),
         "platforms": list(exported.platforms),
+        "gradcam_batch_size": cam_batch,  # None = no explain program
         "jax_version": jax.__version__,
     }
     tmp = path + ".tmp"
@@ -122,6 +156,8 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
                 zf.writestr(_META_MEMBER, json.dumps(meta, indent=1))
                 zf.writestr(_PROGRAM_MEMBER, exported.serialize())
+                if exported_cam is not None:
+                    zf.writestr(_EXPLAIN_MEMBER, exported_cam.serialize())
                 zf.write(weights, _WEIGHTS_MEMBER)
         os.replace(tmp, path)  # never leave a half-written artifact
     finally:
@@ -153,7 +189,9 @@ def load_exported_predictor(path: str,
     returned predictor scores exactly like the one that was exported
     (same padding loop, same preprocessing — it is inside the program),
     but requires sources of exactly the exported ``source_size`` and
-    cannot take a mesh or serve Grad-CAM (those need the live model).
+    cannot take a mesh (that needs the live model).  Grad-CAM works iff
+    the artifact was exported with its explain program (the default —
+    ``export_predictor(gradcam=True)``).
     """
     import jax
     from jax import export as jax_export
@@ -169,6 +207,8 @@ def load_exported_predictor(path: str,
     try:
         with zipfile.ZipFile(path) as zf:
             program = zf.read(_PROGRAM_MEMBER)
+            explain = (zf.read(_EXPLAIN_MEMBER)
+                       if _EXPLAIN_MEMBER in zf.namelist() else None)
             with tempfile.TemporaryDirectory() as td:
                 params, batch_stats, _ = load_weights_npz(
                     zf.extract(_WEIGHTS_MEMBER, td), with_meta=True)
@@ -181,9 +221,14 @@ def load_exported_predictor(path: str,
     # serialized computation as-is)
     cfg = infer_model_config(params, image_size=int(meta["image_size"]))
     names = class_names if class_names is not None else meta["class_names"]
+    cam_batch = meta.get("gradcam_batch_size")
+    has_cam = explain is not None and cam_batch is not None
     return Predictor(
         model=SimpleNamespace(config=cfg),  # no .apply: compiled-only
         params=params, batch_stats=batch_stats, class_names=names,
         batch_size=int(meta["batch_size"]),
         source_size=int(meta["source_size"]),
-        _forward=jax.jit(exported.call))
+        _forward=jax.jit(exported.call),
+        _cam_call=jax.jit(jax_export.deserialize(explain).call)
+        if has_cam else None,
+        _cam_batch_size=int(cam_batch) if has_cam else None)

@@ -125,6 +125,11 @@ class Predictor:
     source_size: Optional[int] = None  # exact HxW a prebuilt program needs
     _forward: object = field(default=None, repr=False)
     _batch_sharding: object = field(default=None, repr=False)
+    # a deserialized Grad-CAM program riding in a .irpx artifact
+    # (irp_tpu/export.py) — consumed by irp_tpu.explain.GradCAM, which
+    # otherwise needs the live model to differentiate through
+    _cam_call: object = field(default=None, repr=False)
+    _cam_batch_size: Optional[int] = field(default=None, repr=False)
 
     def __post_init__(self):
         import jax

@@ -552,7 +552,14 @@ class InferenceServer(ThreadingHTTPServer):
             if self._gradcam is None:
                 from irp_tpu.explain import GradCAM
                 p = self.batcher.predictor
-                self._gradcam = GradCAM(p, batch_size=min(8, p.batch_size))
+                if getattr(p, "_cam_call", None) is not None:
+                    # an exported .irpx with a baked explain program:
+                    # its batch shape is fixed at export time (default
+                    # min(8, batch) — the same interactive-size choice)
+                    self._gradcam = GradCAM(p)
+                else:
+                    self._gradcam = GradCAM(p,
+                                            batch_size=min(8, p.batch_size))
             return self._gradcam
 
     def record_explain(self, n_images: int, latency_ms: float) -> None:

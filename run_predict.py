@@ -55,6 +55,10 @@ def main(argv=None):
                    help="input geometry the exported program accepts "
                         "(default: the 256px cache contract, or the eval "
                         "crop if larger)")
+    p.add_argument("--export-no-gradcam", action="store_true",
+                   help="omit the Grad-CAM explain program from the "
+                        "artifact (smaller file; /explain and --gradcam "
+                        "then need the .npz/.pth weights)")
     p.add_argument("--classes", default=None,
                    help="class names: JSON file or comma-separated list")
     p.add_argument("--batch-size", type=int, default=256)
@@ -132,6 +136,11 @@ def main(argv=None):
                   "use the Python API or re-export with the default "
                   "source size", file=sys.stderr)
             return 2
+        if args.gradcam and getattr(predictor, "_cam_call", None) is None:
+            print("error: this artifact carries no Grad-CAM program; "
+                  "re-export with gradcam=True (the default), or point "
+                  "--weights at the .npz/.pth artifact", file=sys.stderr)
+            return 2
     if (class_names is not None
             and len(class_names) != predictor.num_classes):
         print(f"error: {len(class_names)} class names for a "
@@ -146,10 +155,12 @@ def main(argv=None):
         from irp_tpu.export import export_predictor
 
         out = export_predictor(predictor, args.export,
-                               source_size=args.export_source_size)
+                               source_size=args.export_source_size,
+                               gradcam=not args.export_no_gradcam)
         from irp_tpu.export import read_export_meta
 
-        source = read_export_meta(out)["source_size"]
+        exp_meta = read_export_meta(out)
+        source = exp_meta["source_size"]
         if source != 256:
             print(f"note: this artifact accepts only {source}x{source} "
                   "sources; run_serve/run_predict decode to the 256px "
@@ -158,6 +169,7 @@ def main(argv=None):
         print(json.dumps({
             "exported": out, "bytes": os.path.getsize(out),
             "batch_size": predictor.batch_size, "source_size": source,
+            "gradcam_batch_size": exp_meta.get("gradcam_batch_size"),
             "num_classes": predictor.num_classes}))
         return 0
 

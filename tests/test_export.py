@@ -150,13 +150,50 @@ def test_exported_weights_member_is_standalone(tiny_predictor, images48,
                                rtol=3e-2, atol=5e-3)  # bf16 default cfg
 
 
-def test_exported_predictor_rejects_gradcam(tiny_predictor, tmp_path):
+def test_exported_gradcam_matches_live(tiny_predictor, images48, tmp_path):
+    """The default export bakes the Grad-CAM program: explaining through
+    the artifact is bit-identical to the live model (same platform, same
+    program), with no model code on the load path."""
     from irp_tpu.explain import GradCAM
-    from irp_tpu.export import export_predictor, load_exported_predictor
+    from irp_tpu.export import (export_predictor, load_exported_predictor,
+                                read_export_meta)
 
     path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
                             source_size=48)
-    with pytest.raises(ValueError, match="Grad-CAM"):
+    meta = read_export_meta(path)
+    assert meta["gradcam_batch_size"] == 4  # min(8, batch_size=4)
+    with zipfile.ZipFile(path) as zf:
+        assert "explain.shlo" in zf.namelist()
+    loaded = load_exported_predictor(path)
+    live_cams, live_logits = GradCAM(tiny_predictor).explain(images48)
+    got_cams, got_logits = GradCAM(loaded).explain(images48)
+    np.testing.assert_array_equal(got_cams, live_cams)
+    np.testing.assert_array_equal(got_logits, live_logits)
+    # per-class override flows through the baked program too
+    cls = np.array([2, 0, 1, 2, 0], np.int32)
+    live_c, _ = GradCAM(tiny_predictor).explain(images48, class_idx=cls)
+    got_c, _ = GradCAM(loaded).explain(images48, class_idx=cls)
+    np.testing.assert_array_equal(got_c, live_c)
+
+    # the baked program's batch shape is fixed: a different request is a
+    # loud error, and so is a mismatched source geometry
+    with pytest.raises(ValueError, match="fixes"):
+        GradCAM(loaded, batch_size=3)
+    with pytest.raises(ValueError, match="exactly 48x48"):
+        GradCAM(loaded).explain(np.zeros((2, 64, 64, 3), np.uint8))
+
+
+def test_export_without_gradcam_refuses_explain(tiny_predictor, tmp_path):
+    from irp_tpu.explain import GradCAM
+    from irp_tpu.export import (export_predictor, load_exported_predictor,
+                                read_export_meta)
+
+    path = export_predictor(tiny_predictor, str(tmp_path / "m.irpx"),
+                            source_size=48, gradcam=False)
+    assert read_export_meta(path)["gradcam_batch_size"] is None
+    with zipfile.ZipFile(path) as zf:
+        assert "explain.shlo" not in zf.namelist()
+    with pytest.raises(ValueError, match="re-export"):
         GradCAM(load_exported_predictor(path))
 
 
@@ -203,7 +240,9 @@ def test_format_guards(tiny_predictor, tmp_path):
 def test_serving_daemon_from_exported_artifact(tiny_predictor, tmp_path):
     """The online daemon serves a .irpx with no model code: requests
     decode to the 256px cache contract, which is the export default, so
-    the two compose; /explain refuses cleanly (needs the live model)."""
+    the two compose; /explain runs the artifact's baked Grad-CAM
+    program, and refuses cleanly when exported without one."""
+    import base64
     import io
     import json as jsonmod
     import urllib.error
@@ -236,10 +275,30 @@ def test_serving_daemon_from_exported_artifact(tiny_predictor, tmp_path):
         req = urllib.request.Request(
             f"http://127.0.0.1:{srv.port}/explain", data=buf.getvalue(),
             headers={"Content-Type": "image/jpeg"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = jsonmod.loads(r.read())
+        assert r.status == 200
+        (ex,) = payload["explanations"]
+        assert ex["label_name"] in ("a", "b", "c")
+        png = base64.b64decode(ex["cam_png_b64"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.stop()
+
+    # exported WITHOUT the explain program: /explain refuses cleanly
+    bare = export_predictor(tiny_predictor, str(tmp_path / "bare.irpx"),
+                            gradcam=False)
+    srv = make_server(load_exported_predictor(bare), port=0,
+                      window_ms=5.0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/explain", data=buf.getvalue(),
+            headers={"Content-Type": "image/jpeg"}, method="POST")
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=60)
         assert err.value.code == 500
-        assert "Grad-CAM" in jsonmod.loads(err.value.read())["error"]
+        assert "re-export" in jsonmod.loads(err.value.read())["error"]
     finally:
         srv.stop()
 
@@ -281,6 +340,29 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
     with open(out) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 4  # header + 3 rows
+
+    # --gradcam works straight off the artifact (baked explain program)
+    import glob as globmod
+    cam_dir = str(tmp_path / "cams")
+    rc = run_predict.main(["--weights", art, "--images", str(img_dir),
+                           "--gradcam", cam_dir, "--cpu"])
+    assert rc == 0
+    assert len(globmod.glob(cam_dir + "/*_gradcam.png")) == 3
+    capsys.readouterr()
+
+    # one exported WITHOUT it refuses --gradcam cleanly (exit 2, no
+    # traceback), while still scoring fine
+    bare = str(tmp_path / "bare.irpx")
+    rc = run_predict.main(["--weights", weights, "--export", bare,
+                           "--export-no-gradcam", "--cpu",
+                           "--batch-size", "2"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "gradcam_batch_size"] is None
+    rc = run_predict.main(["--weights", bare, "--images", str(img_dir),
+                           "--gradcam", cam_dir, "--cpu"])
+    assert rc == 2
+    assert "no Grad-CAM" in capsys.readouterr().err
 
     # arg validation: export is standalone, and no sources without it
     assert run_predict.main(["--weights", weights]) == 2

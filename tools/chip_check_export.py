@@ -54,10 +54,19 @@ def main():
         got = loaded.predict_probs(images)     # executes the artifact
         want = live.predict_probs(images)      # live forward, same chip
 
+        # the baked Grad-CAM program must execute on the chip too
+        from irp_tpu.explain import GradCAM
+        print("running the baked explain program ...",
+              file=sys.stderr, flush=True)
+        got_cam, _ = GradCAM(loaded).explain(images)
+        want_cam, _ = GradCAM(live).explain(images)
+
     diff = float(np.abs(got - want).max())
-    ok = bool(diff <= 1e-5 and np.isfinite(got).all())
+    cam_diff = float(np.abs(got_cam - want_cam).max())
+    ok = bool(diff <= 1e-5 and np.isfinite(got).all()
+              and cam_diff <= 1e-5 and np.isfinite(got_cam).all())
     print(json.dumps({"ok": ok, "platform": jax.default_backend(),
-                      "max_diff": diff}))
+                      "max_diff": diff, "cam_max_diff": cam_diff}))
     return 0 if ok else 1
 
 
