@@ -18,10 +18,10 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
 - a built-in MLflow-style tracking file store (``irp_tpu.tracking``)
 - a deployment story the reference lacks entirely: batch inference from
   weights artifacts (``irp_tpu.infer``), a micro-batched online HTTP
-  serving daemon (``irp_tpu.serve``), Grad-CAM explainability
-  (``irp_tpu.explain``), and one-file AOT export of the compiled
-  inference program — StableHLO via jax.export, serves with no model
-  code (``irp_tpu.export``)
+  serving daemon (``irp_tpu.serve``) with a matching stdlib client
+  (``irp_tpu.client``), Grad-CAM explainability (``irp_tpu.explain``),
+  and one-file AOT export of the compiled inference program — StableHLO
+  via jax.export, serves with no model code (``irp_tpu.export``)
 
 Unlike the reference (mutable ``config.py`` module globals, reference
 config.py:8-20), configuration here is immutable dataclasses threaded

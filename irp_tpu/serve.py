@@ -26,6 +26,8 @@ Endpoints
 - ``GET /healthz``  — liveness + model card (depth/classes/crop size).
 - ``GET /stats``    — request/batch counters, mean batch fill, latency
   percentiles (p50/p90/p99 over the last 1024 requests).
+- ``GET /metrics``  — the same counters in Prometheus text exposition
+  format, for a production scrape loop.
 - ``POST /predict`` — score images.  Either a raw image body
   (``Content-Type: image/jpeg`` etc.) or JSON
   ``{"instances": ["<base64 image>", ...]}``.  ``?topk=k`` selects how
@@ -350,6 +352,14 @@ class _Handler(BaseHTTPRequestHandler):
             stats = self.server.batcher.stats()
             stats["explain"] = self.server.explain_stats()
             self._send_json(200, stats)
+        elif path == "/metrics":
+            body = self.server.metrics_text().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send_json(404, {"error": f"unknown path {path}"})
 
@@ -576,6 +586,59 @@ class InferenceServer(ThreadingHTTPServer):
         if pcts is not None:
             s["latency_ms"] = pcts
         return s
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (0.0.4) of the daemon's counters.
+
+        The same numbers as /stats, in the format a production scrape
+        loop expects — counters under ``irp_*_total``, the windowed
+        latency percentiles as gauges (they come from a bounded deque,
+        not a true summary, so no ``_sum``/``_count`` pair is claimed),
+        and a conventional ``irp_model_info`` identity gauge.
+        """
+        stats = self.batcher.stats()
+        explain = self.explain_stats()
+        cfg = self.batcher.predictor.model.config
+        lines = []
+
+        def metric(name, mtype, value, help_text, labels=""):
+            lines.append(f"# HELP {name} {help_text}")
+            lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name}{labels} {value}")
+
+        for key, help_text in (
+                ("requests", "predict requests accepted"),
+                ("images", "images scored by /predict"),
+                ("batches", "device dispatches"),
+                ("batch_images_sum", "images summed over dispatches"),
+                ("rejected", "requests shed at the queue-depth bound"),
+                ("cancelled", "requests abandoned before dispatch"),
+                ("errors", "requests failed inside dispatch")):
+            metric(f"irp_{key}_total", "counter", int(stats[key]),
+                   help_text)
+        for key, help_text in (
+                ("requests", "explain requests served"),
+                ("images", "images explained")):
+            metric(f"irp_explain_{key}_total", "counter",
+                   int(explain[key]), help_text)
+        metric("irp_batch_fill_mean", "gauge",
+               round(float(stats["mean_batch_fill"]), 4),
+               "mean images per device dispatch (windowed)")
+        for scope, payload in (("", stats), ("explain_", explain)):
+            for pct, value in (payload.get("latency_ms") or {}).items():
+                metric(f"irp_{scope}latency_ms_{pct}", "gauge",
+                       round(float(value), 3),
+                       f"{pct} request latency over the last "
+                       "1024 requests (ms)")
+        metric("irp_uptime_seconds", "gauge",
+               round(time.monotonic() - self.t_start, 1),
+               "seconds since daemon start")
+        metric("irp_model_info", "gauge", 1,
+               "model identity (labels carry the values)",
+               labels=(f'{{depth="{cfg.depth}"'
+                       f',num_classes="{cfg.num_classes}"'
+                       f',image_size="{cfg.image_size}"}}'))
+        return "\n".join(lines) + "\n"
 
     @property
     def port(self) -> int:

@@ -111,7 +111,8 @@ def main(argv=None):
     predictor.predict_probs(warm)
 
     print(f"serving on http://{args.host}:{server.port}  "
-          f"(POST /predict, POST /explain, GET /healthz, GET /stats)",
+          f"(POST /predict, POST /explain, GET /healthz, "
+          f"GET /stats, GET /metrics)",
           flush=True)
     try:
         server.serve_forever()

@@ -1,0 +1,144 @@
+"""ServingClient (irp_tpu/client.py) against a real daemon socket.
+
+Locks the client half of the serving protocol: input-form handling
+(bytes / path / uint8 array), single-vs-batch wire encoding, explain
+overlay decoding, readiness polling, and error mapping.
+"""
+
+import io
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from irp_tpu.config import ModelConfig
+from irp_tpu.models.classifier import init_classifier
+
+TINY = ModelConfig(depth=18, num_classes=3, image_size=32, hidden_dim=16,
+                   compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from irp_tpu.infer import make_predictor
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                   image_size=32)
+    return make_predictor(variables, cfg=TINY, batch_size=8,
+                          class_names=["cat", "dog", "fox"])
+
+
+@pytest.fixture(scope="module")
+def client(predictor):
+    from irp_tpu.client import ServingClient
+    from irp_tpu.serve import make_server
+
+    srv = make_server(predictor, port=0, window_ms=10.0)
+    srv.start()
+    yield ServingClient(f"http://127.0.0.1:{srv.port}")
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def images64():
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+
+
+def test_healthz_and_wait_until_ready(client):
+    health = client.wait_until_ready(timeout_s=30)
+    assert health["status"] == "ok"
+    assert health["model"]["num_classes"] == 3
+    assert client.healthz()["model"]["class_names"] == ["cat", "dog", "fox"]
+
+
+def test_predict_array_matches_local_forward(client, predictor, images64):
+    """An array input rides as lossless PNG: the served probabilities
+    must match the local predictor on the same pixels after the daemon's
+    256px decode contract (data/pipeline.py::decode_to_rgb256)."""
+    import io as iomod
+
+    from irp_tpu.data.pipeline import decode_blobs
+
+    [pred] = client.predict(images64[0], topk=3)
+    buf = iomod.BytesIO()
+    Image.fromarray(images64[0]).save(buf, "PNG")
+    local = predictor.predict_probs(
+        decode_blobs([buf.getvalue()], decoder="pil"))[0]
+    order = np.argsort(-local)
+    assert pred["label"] == int(order[0])
+    assert pred["label_name"] == ["cat", "dog", "fox"][pred["label"]]
+    for entry, j in zip(pred["topk"], order):
+        assert entry["label"] == int(j)
+        np.testing.assert_allclose(entry["prob"], float(local[j]),
+                                   atol=1e-6)  # wire rounds to 6 places
+
+
+def test_predict_batch_and_input_forms(client, images64, tmp_path):
+    """bytes / path / array inputs, batched via the JSON-base64 body,
+    come back in input order."""
+    buf = io.BytesIO()
+    Image.fromarray(images64[0]).save(buf, "PNG")
+    path = tmp_path / "img.png"
+    path.write_bytes(buf.getvalue())
+
+    preds = client.predict([buf.getvalue(), str(path), images64[0]])
+    assert len(preds) == 3
+    # three encodings of the SAME pixels -> identical predictions
+    assert len({p["label"] for p in preds}) == 1
+    assert preds[0]["topk"][0]["prob"] == preds[2]["topk"][0]["prob"]
+    assert client.predict([]) == []
+
+
+def test_explain_overlay(client, images64, tmp_path):
+    out = str(tmp_path / "cam.png")
+    ex = client.explain(images64[0], topk=2, overlay_path=out)
+    assert ex["overlay_png"][:8] == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(out) == len(ex["overlay_png"])
+    assert "cam_png_b64" not in ex
+    assert len(ex["topk"]) == 2
+    # class override is echoed back
+    assert client.explain(images64[0], class_idx=2)["explained_class"] == 2
+
+
+def test_metrics_endpoint(client, images64):
+    """/metrics speaks Prometheus text format and agrees with /stats."""
+    client.predict(images64[0])  # ensure at least one scored request
+    text = client.metrics_text()
+    stats = client.stats()
+    assert "# TYPE irp_requests_total counter" in text
+    assert f"irp_requests_total {stats['requests']}" in text
+    assert f"irp_images_total {stats['images']}" in text
+    assert "irp_latency_ms_p50 " in text
+    assert 'irp_model_info{depth="18",num_classes="3",image_size="32"} 1' \
+        in text
+    # every exposed series carries HELP + TYPE (scrapers warn otherwise)
+    names = {line.split("{")[0].split()[0] for line in text.splitlines()
+             if line and not line.startswith("#")}
+    for name in names:
+        assert f"# TYPE {name} " in text and f"# HELP {name} " in text
+
+
+def test_error_mapping(client, images64):
+    from irp_tpu.client import ServingError
+
+    with pytest.raises(ServingError) as err:
+        client._request("/nope")
+    assert err.value.status == 404 and "unknown path" in err.value.message
+    with pytest.raises(ServingError) as err:
+        client.predict(b"not an image")
+    assert err.value.status == 400
+    with pytest.raises(ValueError, match="uint8 array"):
+        client.predict(np.zeros((4, 64, 64, 3), np.uint8)[..., :2])
+    with pytest.raises(TypeError, match="unsupported image"):
+        client.predict(12345)
+
+
+def test_wait_until_ready_times_out_fast():
+    from irp_tpu.client import ServingClient
+
+    dead = ServingClient("http://127.0.0.1:9")  # discard port: refused
+    with pytest.raises(TimeoutError, match="not ready"):
+        dead.wait_until_ready(timeout_s=0.5, poll_s=0.1)
