@@ -129,6 +129,20 @@ class ServingClient:
                         f"{timeout_s:.0f}s")
                 time.sleep(poll_s)
 
+    def reload(self, weights_path: str,
+               timeout_s: Optional[float] = None) -> dict:
+        """Hot-swap the daemon's served weights (POST /reload).
+
+        The daemon warm-compiles the new model before answering —
+        minutes-scale on a cold TPU program, so pass a generous
+        ``timeout_s``.  Requires the daemon to have been launched with
+        reload enabled (``run_serve.py --allow-reload``)."""
+        body = json.dumps({"weights": str(weights_path)}).encode()
+        return self._request("/reload", body=body,
+                             ctype="application/json",
+                             timeout_s=timeout_s or max(self.timeout_s,
+                                                        600.0))
+
     def predict(self, images: Union[ImageLike, Sequence[ImageLike]],
                 topk: int = 1) -> List[dict]:
         """Score one image or a batch (POST /predict).

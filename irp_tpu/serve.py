@@ -36,6 +36,10 @@ Endpoints
   a Grad-CAM overlay PNG (base64) showing which regions drove it
   (irp_tpu.explain).  ``?class=i`` explains a specific class instead of
   the predicted one.
+- ``POST /reload`` — ``{"weights": "<path>"}``: hot-swap the served
+  model with zero downtime (new weights are loaded and warm-compiled
+  BEFORE the atomic swap).  Only when launched with a loader
+  (``run_serve.py --allow-reload``); 403 otherwise.
 """
 
 from __future__ import annotations
@@ -343,6 +347,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, {
                 "status": "ok",
                 "uptime_s": round(time.monotonic() - self.server.t_start, 1),
+                "generation": self.server._generation,
+                "weights": self.server._weights_path,
                 "model": {"depth": cfg.depth,
                           "num_classes": cfg.num_classes,
                           "image_size": cfg.image_size,
@@ -363,9 +369,30 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send_json(404, {"error": f"unknown path {path}"})
 
+    def _do_reload(self, body: bytes) -> None:
+        try:
+            payload = json.loads(body)
+            weights = payload.get("weights") if isinstance(payload, dict) \
+                else None
+            if not isinstance(weights, str) or not weights:
+                raise ValueError('body must be {"weights": "<path>"}')
+        except ValueError as e:
+            self._send_json(400, {"error": f"bad request: {e}"})
+            return
+        try:
+            result = self.server.reload_weights(weights)
+        except RuntimeError as e:      # reload disabled
+            self._send_json(403, {"error": str(e)})
+            return
+        except (ValueError, OSError) as e:  # bad artifact: old keeps serving
+            self._send_json(400, {"error": f"reload failed: {e}",
+                                  "generation": self.server._generation})
+            return
+        self._send_json(200, result)
+
     def do_POST(self):  # noqa: N802
         parsed = urlparse(self.path)
-        if parsed.path not in ("/predict", "/explain"):
+        if parsed.path not in ("/predict", "/explain", "/reload"):
             # body unread: keep-alive would misparse its bytes as the
             # next request line, so drop the connection on early returns
             self.close_connection = True
@@ -394,6 +421,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(413, {"error": "request body too large"})
             return
         body = self.rfile.read(length)
+        if parsed.path == "/reload":
+            self._do_reload(body)
+            return
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
         try:
             if ctype == "application/json":
@@ -525,7 +555,8 @@ class InferenceServer(ThreadingHTTPServer):
                  request_timeout_s: float = 60.0,
                  max_request_bytes: int = 64 * 1024 * 1024,
                  max_concurrent_explains: int = 2,
-                 verbose: bool = False):
+                 verbose: bool = False,
+                 loader=None, weights_path: Optional[str] = None):
         self.batcher = batcher
         self.class_names = list(class_names) if class_names else None
         if (self.class_names is not None and len(self.class_names)
@@ -549,6 +580,11 @@ class InferenceServer(ThreadingHTTPServer):
         # arrays while /predict sheds load properly
         self._explain_slots = threading.BoundedSemaphore(
             max(1, int(max_concurrent_explains)))
+        # hot reload (POST /reload): enabled iff a loader was provided
+        self._loader = loader
+        self._weights_path = weights_path
+        self._generation = 0
+        self._reload_lock = threading.Lock()
         super().__init__(address, _Handler)
 
     def gradcam(self):
@@ -571,6 +607,59 @@ class InferenceServer(ThreadingHTTPServer):
                     self._gradcam = GradCAM(p,
                                             batch_size=min(8, p.batch_size))
             return self._gradcam
+
+    def reload_weights(self, weights_path: str) -> dict:
+        """Swap the served model for ``weights_path`` with zero downtime.
+
+        The new predictor is loaded and warm-compiled BEFORE the swap,
+        so traffic never waits on a cold jit; the swap itself is one
+        atomic attribute write (an in-flight dispatch completes on the
+        old weights, the next dispatch reads the new ones).  The shared
+        Grad-CAM is dropped and lazily rebuilt over the new weights.
+
+        Raises ``RuntimeError`` when reload is disabled (no loader was
+        provided at construction) and ``ValueError`` for artifacts the
+        daemon cannot serve — both left to the caller to map to HTTP.
+        """
+        if self._loader is None:
+            raise RuntimeError(
+                "hot reload is disabled; launch run_serve.py with "
+                "--allow-reload (or pass make_server(loader=...))")
+        with self._reload_lock:  # one reload at a time
+            new = self._loader(weights_path)
+            if getattr(new, "source_size", None) not in (None, 256):
+                raise ValueError(
+                    f"this artifact accepts only {new.source_size}x"
+                    f"{new.source_size} sources, but the daemon decodes "
+                    "requests to the 256x256 cache contract")
+            if new.class_names is not None:
+                names = list(new.class_names)
+            elif (self.class_names is not None
+                    and len(self.class_names) == new.num_classes):
+                names = self.class_names  # still valid, keep
+            elif self.class_names is not None:
+                raise ValueError(
+                    f"served class names ({len(self.class_names)}) do "
+                    f"not fit the new {new.num_classes}-class model, "
+                    "and the artifact carries none; reload with an "
+                    "artifact that embeds class names")
+            else:
+                names = None
+            # compile + execute once BEFORE the swap (minutes-scale on a
+            # cold TPU program — old weights keep serving meanwhile)
+            new.predict_probs(np.zeros((1, 256, 256, 3), np.uint8))
+            old = self.batcher.predictor
+            self.batcher.predictor = new  # atomic: dispatches read once
+            self.class_names = names
+            with self._gradcam_lock:
+                self._gradcam = None  # rebuilt lazily over new weights
+            self._generation += 1
+            self._weights_path = weights_path
+            return {"reloaded": weights_path,
+                    "generation": self._generation,
+                    "num_classes": int(new.num_classes),
+                    "previous_num_classes": int(old.num_classes),
+                    "class_names": names}
 
     def record_explain(self, n_images: int, latency_ms: float) -> None:
         with self._gradcam_lock:
@@ -633,6 +722,8 @@ class InferenceServer(ThreadingHTTPServer):
         metric("irp_uptime_seconds", "gauge",
                round(time.monotonic() - self.t_start, 1),
                "seconds since daemon start")
+        metric("irp_reloads_total", "counter", self._generation,
+               "successful hot weight reloads")
         metric("irp_model_info", "gauge", 1,
                "model identity (labels carry the values)",
                labels=(f'{{depth="{cfg.depth}"'
@@ -662,15 +753,20 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 port: int = 0, class_names=None,
                 max_batch: Optional[int] = None, window_ms: float = 5.0,
                 decoder: str = "auto", verbose: bool = False,
-                request_timeout_s: float = 60.0) -> InferenceServer:
+                request_timeout_s: float = 60.0,
+                loader=None, weights_path: Optional[str] = None
+                ) -> InferenceServer:
     """An :class:`InferenceServer` (not yet serving) for ``predictor``.
 
     ``port=0`` binds an ephemeral port (read ``server.port`` after).
-    ``class_names`` defaults to the predictor's own.
+    ``class_names`` defaults to the predictor's own.  ``loader`` (a
+    ``path -> Predictor`` callable) enables hot reload via
+    ``POST /reload`` — omit it to keep the served weights immutable.
     """
     batcher = MicroBatcher(predictor, max_batch=max_batch,
                            window_ms=window_ms)
     names = class_names if class_names is not None else predictor.class_names
     return InferenceServer((host, port), batcher, class_names=names,
                            decoder=decoder, verbose=verbose,
-                           request_timeout_s=request_timeout_s)
+                           request_timeout_s=request_timeout_s,
+                           loader=loader, weights_path=weights_path)

@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--allow-reload", action="store_true",
+                   help="enable POST /reload {\"weights\": path}: hot-swap "
+                        "the served model with zero downtime (the new "
+                        "weights warm-compile before the atomic swap); "
+                        "off by default — reload lets HTTP clients make "
+                        "the daemon read files")
     p.add_argument("--verbose", action="store_true",
                    help="log each HTTP request")
     args = p.parse_args(argv)
@@ -100,9 +106,16 @@ def main(argv=None):
     # does not serve yet), then compile + warm the forward before
     # accepting traffic so the first client never eats the
     # (minutes-scale on TPU) jit wait.
+    loader = None
+    if args.allow_reload:
+        def loader(path):  # same knobs as the launch load
+            return load_predictor(path, class_names=class_names,
+                                  batch_size=args.batch_size, mesh=mesh,
+                                  image_size=args.image_size)
     server = make_server(predictor, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
-                         verbose=args.verbose)
+                         verbose=args.verbose, loader=loader,
+                         weights_path=args.weights)
     cache = 256  # decode contract, data/pipeline.py::decode_to_rgb256
     warm = np.zeros((1, cache, cache, 3), np.uint8)
     print(f"compiling {predictor.model.config.depth}-layer forward "

@@ -136,6 +136,106 @@ def test_error_mapping(client, images64):
         client.predict(12345)
 
 
+def _save_tiny_weights(tmp_path, name, seed, num_classes=3):
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    cfg = ModelConfig(depth=18, num_classes=num_classes, image_size=32,
+                      hidden_dim=16, compute_dtype="float32")
+    _, variables = init_classifier(cfg, jax.random.PRNGKey(seed),
+                                   image_size=32)
+    return save_weights_npz(str(tmp_path / name), variables["params"],
+                            variables["batch_stats"],
+                            meta={"image_size": 32})
+
+
+def test_hot_reload(tmp_path, images64):
+    """POST /reload swaps the served weights with zero downtime: the
+    daemon then scores exactly like a fresh predictor on the new
+    artifact, Grad-CAM follows, and a bad reload leaves the old model
+    serving."""
+    from irp_tpu.client import ServingClient, ServingError
+    from irp_tpu.data.pipeline import decode_blobs
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.serve import make_server
+
+    w1 = _save_tiny_weights(tmp_path, "w1.npz", seed=0)
+    w2 = _save_tiny_weights(tmp_path, "w2.npz", seed=7)
+
+    def loader(path):
+        return load_predictor(path, batch_size=8)
+
+    srv = make_server(loader(w1), port=0, window_ms=10.0, loader=loader,
+                      weights_path=w1)
+    srv.start()
+    try:
+        client = ServingClient(f"http://127.0.0.1:{srv.port}")
+        health = client.wait_until_ready(timeout_s=60)
+        assert health["generation"] == 0 and health["weights"] == w1
+
+        result = client.reload(w2, timeout_s=120)
+        assert result["generation"] == 1
+        assert client.healthz()["weights"] == w2
+
+        # served predictions now match a fresh local predictor on w2,
+        # through the daemon's own 256px decode contract
+        import io as iomod
+        buf = iomod.BytesIO()
+        Image.fromarray(images64[0]).save(buf, "PNG")
+        [pred] = client.predict(images64[0], topk=3)
+        local = load_predictor(w2, batch_size=8).predict_probs(
+            decode_blobs([buf.getvalue()], decoder="pil"))[0]
+        assert pred["label"] == int(np.argmax(local))
+        np.testing.assert_allclose(pred["topk"][0]["prob"],
+                                   float(local.max()), atol=1e-6)
+        # the shared Grad-CAM was invalidated: /explain runs on w2
+        assert client.explain(images64[0])["label"] == pred["label"]
+
+        # a bad reload is a clean 400 and the old model keeps serving
+        with pytest.raises(ServingError) as err:
+            client.reload(str(tmp_path / "missing.npz"), timeout_s=30)
+        assert err.value.status == 400
+        assert client.healthz()["generation"] == 1
+        assert client.predict(images64[0])[0]["label"] == pred["label"]
+        assert "irp_reloads_total 1" in client.metrics_text()
+    finally:
+        srv.stop()
+
+
+def test_reload_guards(tmp_path, client, images64):
+    """Reload is 403 when disabled, and refuses a class-count mismatch
+    against explicitly served class names."""
+    from irp_tpu.client import ServingClient, ServingError
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.serve import make_server
+
+    # the module-scope daemon has no loader
+    with pytest.raises(ServingError) as err:
+        client.reload(str(tmp_path / "whatever.npz"), timeout_s=30)
+    assert err.value.status == 403 and "--allow-reload" in err.value.message
+
+    w3 = _save_tiny_weights(tmp_path, "w4c.npz", seed=1, num_classes=4)
+    w1 = _save_tiny_weights(tmp_path, "w1.npz", seed=0)
+
+    def loader(path):
+        return load_predictor(path, batch_size=8)
+
+    srv = make_server(loader(w1), port=0, class_names=["a", "b", "c"],
+                      loader=loader, weights_path=w1)
+    srv.start()
+    try:
+        c2 = ServingClient(f"http://127.0.0.1:{srv.port}")
+        c2.wait_until_ready(timeout_s=60)
+        with pytest.raises(ServingError) as err:
+            c2.reload(w3, timeout_s=60)
+        assert err.value.status == 400
+        assert "class names" in err.value.message
+        # old model untouched
+        assert c2.healthz()["generation"] == 0
+        assert c2.predict(images64[0])[0]["label_name"] in ("a", "b", "c")
+    finally:
+        srv.stop()
+
+
 def test_wait_until_ready_times_out_fast():
     from irp_tpu.client import ServingClient
 
