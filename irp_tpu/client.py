@@ -78,9 +78,11 @@ class ServingClient:
                  ctype: Optional[str] = None,
                  timeout_s: Optional[float] = None) -> dict:
         headers = {"Content-Type": ctype} if ctype else {}
-        req = urllib.request.Request(self.base_url + path, data=body,
-                                     headers=headers,
-                                     method="POST" if body else "GET")
+        req = urllib.request.Request(
+            self.base_url + path, data=body, headers=headers,
+            # `is not None`: an empty b"" body is still a POST (the
+            # server answers 400 empty-body, not a misleading GET 404)
+            method="POST" if body is not None else "GET")
         try:
             with urllib.request.urlopen(
                     req, timeout=timeout_s or self.timeout_s) as r:

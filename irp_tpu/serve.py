@@ -79,6 +79,14 @@ class ServerOverloadedError(RuntimeError):
     """The request queue is full — shed load instead of growing it."""
 
 
+class ReloadDisabledError(RuntimeError):
+    """POST /reload on a daemon launched without a loader (-> HTTP 403).
+
+    A dedicated type so the handler's 403 mapping can never swallow a
+    real runtime failure (e.g. jaxlib's XlaRuntimeError is a
+    RuntimeError subclass)."""
+
+
 @dataclass
 class _Pending:
     """One enqueued request: n images awaiting a shared dispatch."""
@@ -89,6 +97,10 @@ class _Pending:
     error: Optional[BaseException] = None
     t_enqueue: float = field(default_factory=time.monotonic)
     cancelled: bool = False             # waiter gave up; skip the forward
+    # the predictor that actually served this request — stamped at
+    # dispatch so a concurrent hot reload can never pair one model's
+    # probabilities with another model's class names
+    predictor: Optional[Predictor] = None
 
     def wait(self, timeout: Optional[float] = None) -> np.ndarray:
         if not self.event.wait(timeout):
@@ -278,10 +290,13 @@ class MicroBatcher:
             self._dispatch_same_shape(bucket)
 
     def _dispatch_same_shape(self, group: List[_Pending]) -> None:
+        predictor = self.predictor  # ONE read: hot reload swaps this attr
+        for p in group:
+            p.predictor = predictor
         try:
             images = (group[0].images if len(group) == 1 else
                       np.concatenate([p.images for p in group], axis=0))
-            probs = self.predictor.predict_probs(images)
+            probs = predictor.predict_probs(images)
         except BaseException as e:  # noqa: BLE001 — delivered to waiters
             with self._lock:
                 self._stats["errors"] += len(group)
@@ -381,10 +396,14 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             result = self.server.reload_weights(weights)
-        except RuntimeError as e:      # reload disabled
+        except ReloadDisabledError as e:
             self._send_json(403, {"error": str(e)})
             return
-        except (ValueError, OSError) as e:  # bad artifact: old keeps serving
+        except Exception as e:  # noqa: BLE001 — bad artifact / failed
+            # load / failed warm compile: the OLD model keeps serving,
+            # and a dropped connection must never be the answer (a
+            # corrupt .npz raises zipfile.BadZipFile, jax raises
+            # XlaRuntimeError — no clean exception whitelist exists)
             self._send_json(400, {"error": f"reload failed: {e}",
                                   "generation": self.server._generation})
             return
@@ -449,8 +468,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         t0 = time.monotonic()
         try:
-            probs = self.server.batcher.submit(
-                images, timeout=self.server.request_timeout_s)
+            pending = self.server.batcher.submit_async(images)
+            probs = pending.wait(timeout=self.server.request_timeout_s)
         except TimeoutError:
             self._send_json(503, {"error": "inference timed out"})
             return
@@ -460,7 +479,12 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             self._send_json(500, {"error": f"inference failed: {e}"})
             return
-        names = self.server.class_names
+        # names from the predictor that SERVED this dispatch (stamped by
+        # the batcher): a concurrent hot reload cannot pair these probs
+        # with another model's labels
+        names = (pending.predictor.class_names
+                 if pending.predictor is not None
+                 else self.server.class_names)
         k = max(1, min(topk, probs.shape[1]))
         idx = np.argsort(-probs, axis=1)[:, :k]
         preds = []
@@ -490,18 +514,24 @@ class _Handler(BaseHTTPRequestHandler):
 
         from irp_tpu.explain import center_crop_u8, overlay_cam
 
-        num_classes = self.server.batcher.predictor.num_classes
-        if explain_cls is not None and not (0 <= explain_cls < num_classes):
-            self._send_json(400, {"error": f"class must be in "
-                                           f"[0, {num_classes})"})
-            return
         if not self.server._explain_slots.acquire(blocking=False):
             self._send_json(503, {"error": "explain capacity saturated; "
                                            "retry shortly"})
             return
         t0 = time.monotonic()
         try:
-            cams, logits = self.server.gradcam().explain(
+            # ONE GradCAM snapshot: validation, compute, and label
+            # formatting all use ITS predictor, so a concurrent hot
+            # reload can never mix two models' class counts or names
+            gc = self.server.gradcam()
+            predictor = gc.predictor
+            num_classes = predictor.num_classes
+            if explain_cls is not None and not (0 <= explain_cls
+                                                < num_classes):
+                self._send_json(400, {"error": f"class must be in "
+                                               f"[0, {num_classes})"})
+                return
+            cams, logits = gc.explain(
                 images, class_idx=(None if explain_cls is None
                                    else np.full((images.shape[0],),
                                                 explain_cls, np.int32)))
@@ -515,9 +545,9 @@ class _Handler(BaseHTTPRequestHandler):
         from irp_tpu.infer import softmax_np
 
         probs = softmax_np(logits)
-        crop = self.server.batcher.predictor.model.config.image_size
+        crop = predictor.model.config.image_size
         cropped = center_crop_u8(images, crop)
-        names = self.server.class_names
+        names = predictor.class_names
         k = max(1, min(topk, num_classes))
         idx = np.argsort(-probs, axis=1)[:, :k]
         out = []
@@ -564,6 +594,11 @@ class InferenceServer(ThreadingHTTPServer):
             raise ValueError(
                 f"{len(self.class_names)} class names for a "
                 f"{batcher.predictor.num_classes}-class model")
+        if self.class_names is not None:
+            # the predictor is the per-dispatch source of truth for
+            # names (see _Pending.predictor) — sync an explicit override
+            # onto it so both views always agree
+            batcher.predictor.class_names = self.class_names
         self.decoder = decoder
         self.request_timeout_s = request_timeout_s
         self.max_request_bytes = max_request_bytes
@@ -622,7 +657,7 @@ class InferenceServer(ThreadingHTTPServer):
         daemon cannot serve — both left to the caller to map to HTTP.
         """
         if self._loader is None:
-            raise RuntimeError(
+            raise ReloadDisabledError(
                 "hot reload is disabled; launch run_serve.py with "
                 "--allow-reload (or pass make_server(loader=...))")
         with self._reload_lock:  # one reload at a time
@@ -648,9 +683,15 @@ class InferenceServer(ThreadingHTTPServer):
             # compile + execute once BEFORE the swap (minutes-scale on a
             # cold TPU program — old weights keep serving meanwhile)
             new.predict_probs(np.zeros((1, 256, 256, 3), np.uint8))
+            new.class_names = names  # predictor carries its own labels
             old = self.batcher.predictor
             self.batcher.predictor = new  # atomic: dispatches read once
-            self.class_names = names
+            if self.batcher.max_batch == old.batch_size:
+                # the micro-batch cap was derived from the old compiled
+                # batch shape — track the new one, or every dispatch
+                # would be permanently padded/split against it
+                self.batcher.max_batch = new.batch_size
+            self.class_names = names  # healthz/stats display
             with self._gradcam_lock:
                 self._gradcam = None  # rebuilt lazily over new weights
             self._generation += 1

@@ -108,10 +108,14 @@ def main(argv=None):
     # (minutes-scale on TPU) jit wait.
     loader = None
     if args.allow_reload:
-        def loader(path):  # same knobs as the launch load
-            return load_predictor(path, class_names=class_names,
-                                  batch_size=args.batch_size, mesh=mesh,
-                                  image_size=args.image_size)
+        def loader(path):
+            # same knobs as the launch load, EXCEPT class names: the
+            # launch-time --classes must not be stamped onto a reloaded
+            # artifact (it may have a different class count/order) —
+            # reload_weights adopts the artifact's own names or keeps
+            # the served ones only when the count still fits
+            return load_predictor(path, batch_size=args.batch_size,
+                                  mesh=mesh, image_size=args.image_size)
     server = make_server(predictor, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
                          verbose=args.verbose, loader=loader,

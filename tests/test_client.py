@@ -130,6 +130,11 @@ def test_error_mapping(client, images64):
     with pytest.raises(ServingError) as err:
         client.predict(b"not an image")
     assert err.value.status == 400
+    # an empty body must still be a POST: the server's 400, not a
+    # misleading GET-route 404
+    with pytest.raises(ServingError) as err:
+        client.predict(b"")
+    assert err.value.status == 400 and "empty" in err.value.message
     with pytest.raises(ValueError, match="uint8 array"):
         client.predict(np.zeros((4, 64, 64, 3), np.uint8)[..., :2])
     with pytest.raises(TypeError, match="unsupported image"):
@@ -229,9 +234,56 @@ def test_reload_guards(tmp_path, client, images64):
             c2.reload(w3, timeout_s=60)
         assert err.value.status == 400
         assert "class names" in err.value.message
-        # old model untouched
+        # a corrupt artifact (np.load raises zipfile.BadZipFile, which
+        # is neither ValueError nor OSError) is still a clean 400
+        corrupt = tmp_path / "corrupt.npz"
+        corrupt.write_bytes(b"PK\x03\x04 definitely not weights")
+        with pytest.raises(ServingError) as err:
+            c2.reload(str(corrupt), timeout_s=30)
+        assert err.value.status == 400
+        # old model untouched by either failure
         assert c2.healthz()["generation"] == 0
         assert c2.predict(images64[0])[0]["label_name"] in ("a", "b", "c")
+    finally:
+        srv.stop()
+
+
+def test_reload_failure_statuses(tmp_path, images64):
+    """Only 'reload disabled' maps to 403: a loader that blows up with a
+    plain RuntimeError (e.g. jax's XlaRuntimeError subclass during the
+    warm compile) must be a 400 'reload failed', and the micro-batch cap
+    tracks a reloaded predictor's compiled batch shape."""
+    from irp_tpu.client import ServingClient, ServingError
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.serve import make_server
+
+    w1 = _save_tiny_weights(tmp_path, "w1.npz", seed=0)
+
+    calls = {"n": 0}
+
+    def loader(path):
+        calls["n"] += 1
+        if path == "boom":
+            raise RuntimeError("device exploded")
+        return load_predictor(path, batch_size=4)
+
+    srv = make_server(load_predictor(w1, batch_size=8), port=0,
+                      loader=loader, weights_path=w1)
+    srv.start()
+    try:
+        c = ServingClient(f"http://127.0.0.1:{srv.port}")
+        c.wait_until_ready(timeout_s=60)
+        with pytest.raises(ServingError) as err:
+            c.reload("boom", timeout_s=30)
+        assert err.value.status == 400  # NOT the 403 'disabled' status
+        assert "device exploded" in err.value.message
+        assert calls["n"] == 1
+
+        # derived max_batch follows the new compiled batch shape
+        assert srv.batcher.max_batch == 8
+        c.reload(w1, timeout_s=120)
+        assert srv.batcher.predictor.batch_size == 4
+        assert srv.batcher.max_batch == 4
     finally:
         srv.stop()
 
