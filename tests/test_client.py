@@ -288,6 +288,68 @@ def test_reload_failure_statuses(tmp_path, images64):
         srv.stop()
 
 
+def test_reload_under_concurrent_traffic(tmp_path, images64):
+    """Predictions during a hot reload must pair each model's
+    probabilities with ITS OWN class names (the batcher stamps the
+    dispatching predictor on every request) — never w1 names with w2
+    probs, and never a 5xx."""
+    import threading
+
+    from irp_tpu.client import ServingClient
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.serve import make_server
+
+    w1 = _save_tiny_weights(tmp_path, "w1.npz", seed=0)
+    w2 = _save_tiny_weights(tmp_path, "w2.npz", seed=7)
+    names_for = {w1: [f"w1-{i}" for i in range(3)],
+                 w2: [f"w2-{i}" for i in range(3)]}
+
+    def loader(path):
+        return load_predictor(path, class_names=names_for[path],
+                              batch_size=8)
+
+    srv = make_server(loader(w1), port=0, window_ms=2.0, loader=loader,
+                      weights_path=w1)
+    srv.start()
+    try:
+        client = ServingClient(f"http://127.0.0.1:{srv.port}")
+        client.wait_until_ready(timeout_s=60)
+        # each model's expected (top name, top prob) for the FIXED image
+        expected = {}
+        for w in (w1, w2):
+            client.reload(w, timeout_s=120)
+            [pred] = client.predict(images64[0], topk=1)
+            expected[names_for[w][0][:2]] = pred["topk"][0]["prob"]
+        assert len(set(expected.values())) == 2  # models disagree
+
+        failures = []
+
+        def hammer():
+            for _ in range(12):
+                try:
+                    [pred] = client.predict(images64[0], topk=1)
+                except Exception as e:  # noqa: BLE001 — collected
+                    failures.append(repr(e))
+                    continue
+                prefix = pred["label_name"][:2]
+                prob = pred["topk"][0]["prob"]
+                if expected.get(prefix) != prob:
+                    failures.append(
+                        f"mixed pairing: name {pred['label_name']} "
+                        f"with prob {prob}")
+
+        threads = [threading.Thread(target=hammer) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for w in (w1, w2, w1, w2):  # reload repeatedly under load
+            client.reload(w, timeout_s=120)
+        for t in threads:
+            t.join(120)
+        assert not failures, failures[:5]
+    finally:
+        srv.stop()
+
+
 def test_wait_until_ready_times_out_fast():
     from irp_tpu.client import ServingClient
 
