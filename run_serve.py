@@ -127,6 +127,16 @@ def main(argv=None):
           f"{predictor.model.config.image_size}) ...", flush=True)
     predictor.predict_probs(warm)
 
+    # SIGTERM (systemd/k8s/docker stop) must drain like Ctrl-C does:
+    # stop accepting, finish in-flight dispatches, then exit 0 — not
+    # die mid-request with dropped connections
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /predict, POST /explain, GET /healthz, "
           f"GET /stats, GET /metrics)",
@@ -134,7 +144,7 @@ def main(argv=None):
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        print("shutting down")
+        print("shutting down", flush=True)
         server.stop()
     return 0
 

@@ -419,6 +419,13 @@ def test_run_serve_cli_e2e(tmp_path, predictor):
             body = json.loads(r.read())
         assert body["n"] == 1
         assert body["predictions"][0]["label_name"] in ("cat", "dog", "fox")
-    finally:
+        # SIGTERM (docker/k8s/systemd stop) drains gracefully: the
+        # daemon prints its shutdown line and exits 0, not a kill
         proc.terminate()
-        proc.wait(30)
+        out, _ = proc.communicate(timeout=30)
+        assert proc.returncode == 0, out
+        assert "shutting down" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(10)
