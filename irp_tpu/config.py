@@ -73,6 +73,13 @@ class ModelConfig:
     num_classes: int = 10
     image_size: int = 224  # model input resolution (crop target)
     hidden_dim: int = 512
+    # ResNeXt / Wide-ResNet variants (torchvision's parameterization —
+    # same state_dict layout, so .pth interchange keeps working):
+    # resnext50_32x4d = groups=32, width_per_group=4;
+    # wide_resnet50_2 = width_per_group=128.  Bottleneck depths only;
+    # the defaults are the plain ResNet.
+    groups: int = 1
+    width_per_group: int = 64
     dropout_rate: float = 0.3
     trainable_stages: tuple = ("layer4",)  # frozen backbone except these
     head_only: bool = False  # freeze everything but the head

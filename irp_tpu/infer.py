@@ -77,10 +77,22 @@ def infer_model_config(params: dict, image_size: int = 224,
     if depth is None:
         raise ValueError(f"unrecognized ResNet stage sizes {counts} "
                          f"(bottleneck={bottleneck})")
+    groups, width_per_group = 1, 64
+    if bottleneck:
+        # ResNeXt/Wide variants are visible in the first block's conv
+        # shapes: width = conv1 fan-out; groups = width / conv2 fan-in
+        # (grouped convs store kernels at in/groups); torchvision's
+        # width formula at planes=64 gives width = width_per_group*groups
+        block0 = backbone["layer1_block0"]
+        width = int(np.shape(block0["conv1"]["kernel"])[-1])
+        in_per_group = int(np.shape(block0["conv2"]["kernel"])[2])
+        groups = width // in_per_group
+        width_per_group = width // groups
     hidden_dim, num_classes = (int(np.shape(params["head_dense1"]["kernel"])[1]),
                                int(np.shape(params["head_dense2"]["kernel"])[1]))
     return ModelConfig(depth=depth, num_classes=num_classes,
                        image_size=image_size, hidden_dim=hidden_dim,
+                       groups=groups, width_per_group=width_per_group,
                        compute_dtype=compute_dtype)
 
 

@@ -56,11 +56,16 @@ class Classifier(nn.Module):
                 problems.append("compute_dtype must be 'bfloat16'")
             if precision is not None:
                 problems.append("precision must be 'default'")
+            if cfg.groups != 1 or cfg.width_per_group != 64:
+                problems.append("ResNeXt/Wide variants have no fused "
+                                "kernel (plain ResNet blocks only)")
             if problems:
                 raise ValueError(
                     "fused_frozen_blocks='on' is incompatible with this "
                     "config: " + "; ".join(problems))
         self.backbone = ResNet(depth=cfg.depth, dtype=dtype,
+                               groups=cfg.groups,
+                               width_per_group=cfg.width_per_group,
                                frozen_prefix=frozen_prefix,
                                bn_stats_mode=cfg.bn_stats_mode,
                                precision=precision,

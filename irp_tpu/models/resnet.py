@@ -5,7 +5,11 @@ TPU-native rebuild of the reference backbone (reference functions/model.py:
 frozen and layer4 trainable, fc replaced by Identity).  Here the backbone is
 a from-scratch Flax module whose parameter tree mirrors torchvision's naming
 (``conv1/bn1/layer{1..4}/block{j}/conv{1..3}...``) so pretrained PyTorch
-state_dicts convert mechanically (see irp_tpu.models.convert).
+state_dicts convert mechanically (see irp_tpu.models.convert).  The
+ResNeXt (grouped 3x3) and Wide-ResNet variants use torchvision's
+``groups``/``width_per_group`` parameterization and the SAME state_dict
+layout, so resnext50_32x4d / wide_resnet50_2 checkpoints interchange the
+same way.
 
 TPU-first details:
 - NHWC layout throughout (XLA's native conv layout on TPU).
@@ -107,6 +111,12 @@ class Bottleneck(nn.Module):
     Stride on the 3x3 conv = torchvision's v1.5 placement, required for
     IMAGENET1K weights to be valid.
 
+    ``groups``/``width_per_group`` follow torchvision's ResNeXt /
+    Wide-ResNet parameterization: the 1x1/3x3 convs run at
+    ``width = filters * width_per_group / 64 * groups`` channels with the
+    3x3 grouped (``feature_group_count`` — XLA lowers grouped convs onto
+    the MXU natively); the block's output stays ``filters * expansion``.
+
     ``fused=True`` routes the whole block through the single-pass Pallas
     kernel (ops/pallas_resnet.py) instead of per-conv XLA ops — only valid
     for identity blocks (stride 1, matching channels) on a frozen stage
@@ -120,6 +130,8 @@ class Bottleneck(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     expansion: int = 4
+    groups: int = 1
+    width_per_group: int = 64
     fused: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -127,12 +139,14 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         if self.fused:
             return self._fused(x)
+        width = int(self.filters * self.width_per_group / 64.) * self.groups
         residual = x
-        y = self.conv(self.filters, (1, 1), name="conv1")(x)
+        y = self.conv(width, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = self.conv(width, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)),
+                      feature_group_count=self.groups, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
@@ -192,6 +206,11 @@ class ResNet(nn.Module):
 
     depth: int = 50
     num_filters: int = 64
+    # torchvision's variant parameterization (Bottleneck docstring):
+    # groups=32,width_per_group=4 = ResNeXt-50/101 32x4d;
+    # width_per_group=128 = Wide-ResNet-50/101-2.  Bottleneck depths only.
+    groups: int = 1
+    width_per_group: int = 64
     dtype: Any = jnp.bfloat16
     frozen_prefix: int = 3
     bn_stats_mode: str = "trainable_only"
@@ -208,6 +227,12 @@ class ResNet(nn.Module):
                  return_spatial: bool = False):
         stage_sizes = STAGE_SIZES[self.depth]
         block_cls = Bottleneck if self.depth in BOTTLENECK_DEPTHS else BasicBlock
+        if ((self.groups != 1 or self.width_per_group != 64)
+                and block_cls is not Bottleneck):
+            # torchvision's rule: BasicBlock only supports the defaults
+            raise ValueError(
+                f"groups/width_per_group variants need a bottleneck depth "
+                f"(50/101/152), got depth {self.depth}")
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, precision=self.precision)
 
@@ -231,6 +256,8 @@ class ResNet(nn.Module):
 
         fusable_stage = (self.fused_frozen_blocks
                          and block_cls is Bottleneck
+                         and self.groups == 1
+                         and self.width_per_group == 64
                          and self.bn_stats_mode == "trainable_only"
                          and self.dtype == jnp.bfloat16
                          and self.precision is None)
@@ -244,6 +271,8 @@ class ResNet(nn.Module):
                     # j > 0 <=> identity block (j == 0 carries the
                     # projection shortcut, incl. layer1's 64->256)
                     kwargs = dict(fused=fusable_stage and frozen and j > 0,
+                                  groups=self.groups,
+                                  width_per_group=self.width_per_group,
                                   dtype=self.dtype)
                 x = block_cls(filters=self.num_filters * 2 ** i, stride=stride,
                               conv=conv, norm=norm,

@@ -83,6 +83,54 @@ def test_infer_model_config_from_tree(tiny_model):
     assert (cfg.depth, cfg.num_classes, cfg.hidden_dim) == (18, 3, 16)
 
 
+@pytest.mark.parametrize("groups,wpg", [(32, 4), (1, 128), (1, 64)])
+def test_infer_model_config_recovers_variants(groups, wpg):
+    """Serving a ResNeXt / Wide-ResNet artifact must rebuild the right
+    architecture from the weight tree alone (groups from the grouped
+    conv2 fan-in, width_per_group from the conv1 fan-out)."""
+    import jax.numpy as jnp
+
+    from irp_tpu.infer import infer_model_config
+    from irp_tpu.models.classifier import Classifier
+
+    cfg = ModelConfig(depth=50, num_classes=3, hidden_dim=16,
+                      groups=groups, width_per_group=wpg,
+                      compute_dtype="float32")
+    shapes = jax.eval_shape(
+        lambda: Classifier(config=cfg).init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 32, 32, 3), jnp.float32), train=False))
+    got = infer_model_config(shapes["params"], image_size=32)
+    assert (got.depth, got.groups, got.width_per_group) == (50, groups, wpg)
+    assert (got.num_classes, got.hidden_dim) == (3, 16)
+
+
+def test_pth_roundtrip_resnext(images48, tmp_path):
+    """A converted ResNeXt .pth serves end-to-end: architecture (incl.
+    groups/width) inferred from the weight tree, scores matching the
+    source model."""
+    torch = pytest.importorskip("torch")
+    from irp_tpu.infer import load_predictor
+    from irp_tpu.models.convert import flax_variables_to_torch_state_dict
+
+    cfg = ModelConfig(depth=50, num_classes=3, hidden_dim=16, groups=32,
+                      width_per_group=4, image_size=32,
+                      compute_dtype="float32")
+    model, variables = init_classifier(cfg, jax.random.PRNGKey(2),
+                                       image_size=32)
+    sd = flax_variables_to_torch_state_dict(variables, depth=50)
+    path = str(tmp_path / "resnext.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+
+    pred = load_predictor(path, batch_size=4, image_size=32)
+    assert (pred.model.config.groups,
+            pred.model.config.width_per_group) == (32, 4)
+    np.testing.assert_allclose(
+        pred.predict_probs(images48),
+        _direct_probs(model, variables, images48),
+        rtol=3e-2, atol=5e-3)  # inferred cfg serves bf16; source is f32
+
+
 def test_npz_roundtrip(tiny_model, images48, tmp_path):
     from irp_tpu.infer import load_predictor, make_predictor
     from irp_tpu.train.checkpoint import save_weights_npz

@@ -86,6 +86,45 @@ def test_model_zoo_param_counts(depth, tv_total, fc_in):
     assert backbone == tv_total - (fc_in * 1000 + 1000)
 
 
+@pytest.mark.parametrize("depth,groups,wpg,tv_total", [
+    (50, 32, 4, 25_028_904),     # resnext50_32x4d
+    (50, 1, 128, 68_883_240),    # wide_resnet50_2
+    (101, 32, 8, 88_791_336),    # resnext101_32x8d
+])
+def test_variant_param_counts(depth, groups, wpg, tv_total):
+    """ResNeXt / Wide-ResNet variants match torchvision's published
+    totals (minus fc) AND the in-repo torch reference model, parameter
+    for parameter — two independent anchors for the grouped-conv and
+    width plumbing."""
+    torch = pytest.importorskip("torch")
+    from irp_tpu.models.torch_ref import Bottleneck as TorchBottleneck
+    from irp_tpu.models.torch_ref import ResNet as TorchResNet
+
+    cfg = ModelConfig(depth=depth, num_classes=10, groups=groups,
+                      width_per_group=wpg, compute_dtype="float32")
+    model = Classifier(config=cfg)
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, dummy,
+                           train=False))
+    backbone = n_params(shapes["params"]["backbone"])
+    assert backbone == tv_total - (2048 * 1000 + 1000)
+    layers = {50: [3, 4, 6, 3], 101: [3, 4, 23, 3]}[depth]
+    tmodel = TorchResNet(TorchBottleneck, layers, groups=groups,
+                         width_per_group=wpg)
+    assert backbone == sum(p.numel() for p in tmodel.parameters())
+
+
+def test_variants_require_bottleneck_depths():
+    from irp_tpu.models.resnet import ResNet
+
+    with pytest.raises(ValueError, match="bottleneck depth"):
+        jax.eval_shape(lambda: ResNet(depth=18, groups=32,
+                                      width_per_group=4).init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 32, 32, 3), jnp.float32)))
+
+
 def test_r18_param_count_matches_torchvision(model18):
     """torchvision resnet18: 11,689,512 incl. fc(512->1000)."""
     _, variables = model18

@@ -146,3 +146,8 @@ def test_fused_on_rejects_ineligible_config():
         init_classifier(ModelConfig(depth=18, num_classes=3, image_size=64,
                                     fused_frozen_blocks="on"),
                         jax.random.PRNGKey(0), image_size=64)
+    with pytest.raises(ValueError, match="variants"):
+        init_classifier(ModelConfig(depth=50, num_classes=3, image_size=64,
+                                    groups=32, width_per_group=4,
+                                    fused_frozen_blocks="on"),
+                        jax.random.PRNGKey(0), image_size=64)
