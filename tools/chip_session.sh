@@ -82,10 +82,12 @@ run_stage() {  # name timeout_secs cmd...
 run_stage bench_default 2400 env BENCH_BUDGET_SECS=2100 python bench.py
 run_stage bench_parity  2400 env BENCH_BUDGET_SECS=2100 BENCH_BN_MODE=all \
     python bench.py
-# Quick correctness gate: an exported .irpx must execute on the real
-# axon backend (validates the "export on any host, serve on the chip"
-# claim; success predicate = default rc==0)
-run_stage export_chip   900 python tools/chip_check_export.py
+# Correctness gate: an exported .irpx must execute on the real axon
+# backend (validates the "export on any host, serve on the chip" claim;
+# success predicate = default rc==0).  Budget covers 4 fresh TPU
+# programs through the slow tunnel compile helper (live + artifact,
+# forward + baked Grad-CAM).
+run_stage export_chip   1800 python tools/chip_check_export.py
 
 run_stage curation      5400 python tools/bench_curation.py \
     --umap-n 26000 --tmp /tmp/chip/curation
