@@ -135,6 +135,14 @@ class Predictor:
     batch_size: int = 256
     mesh: Optional[object] = None
     source_size: Optional[int] = None  # exact HxW a prebuilt program needs
+    # Allowed padded batch shapes (ascending, last == batch_size).  When
+    # set, a chunk of n images pads to the SMALLEST bucket >= n instead
+    # of always to batch_size — the TF-Serving allowed-batch-sizes idea:
+    # a lone online request then costs a batch-1 program, not batch_size
+    # images of padded device work.  One compiled program per bucket
+    # (lazily, first hit; minutes-scale each on a cold TPU — opt in for
+    # online serving, leave None for bulk scoring).
+    pad_buckets: Optional[Tuple[int, ...]] = None
     _forward: object = field(default=None, repr=False)
     _batch_sharding: object = field(default=None, repr=False)
     # a deserialized Grad-CAM program riding in a .irpx artifact
@@ -149,6 +157,16 @@ class Predictor:
 
         from irp_tpu.ops.preprocess import eval_preprocess_batch
 
+        if self.pad_buckets is not None:
+            buckets = tuple(sorted(int(b) for b in self.pad_buckets))
+            if (not buckets or buckets[0] < 1
+                    or buckets[-1] != self.batch_size
+                    or len(set(buckets)) != len(buckets)):
+                raise ValueError(
+                    f"pad_buckets must be distinct sizes in [1, "
+                    f"batch_size] ending at batch_size={self.batch_size}, "
+                    f"got {self.pad_buckets}")
+            self.pad_buckets = buckets
         if self._forward is not None:
             # A prebuilt program (e.g. a deserialized jax.export artifact,
             # irp_tpu/export.py): batch shape, preprocessing, and platform
@@ -159,6 +177,12 @@ class Predictor:
                     "a prebuilt-forward predictor cannot take a mesh: the "
                     "exported program's device assignment is fixed; load "
                     "the .npz/.pth weights with mesh= instead")
+            if self.pad_buckets is not None and self.pad_buckets != (
+                    self.batch_size,):
+                raise ValueError(
+                    "an exported program has ONE baked batch shape; "
+                    "pad_buckets cannot apply (re-export per shape "
+                    "instead)")
             return
 
         cfg = self.model.config
@@ -171,6 +195,11 @@ class Predictor:
             n_data = self.mesh.shape[DATA_AXIS]
             # full batches must split evenly over the data axis
             self.batch_size = max(self.batch_size // n_data, 1) * n_data
+            if self.pad_buckets is not None and any(
+                    b % n_data for b in self.pad_buckets):
+                raise ValueError(
+                    f"every pad bucket must split evenly over the "
+                    f"{n_data}-way data axis, got {self.pad_buckets}")
             rep = replicated(self.mesh)
             place = lambda t: jax.device_put(t, rep)  # noqa: E731
             self.params = jax.tree_util.tree_map(place, self.params)
@@ -230,15 +259,25 @@ class Predictor:
         out = []
         for start in range(0, n, bsz):
             chunk = images_u8[start:start + bsz]
-            if chunk.shape[0] < bsz:  # pad the tail to the compiled shape
-                pad = np.broadcast_to(chunk[-1:],
-                                      (bsz - chunk.shape[0],) + chunk.shape[1:])
+            target = self._pad_target(chunk.shape[0])
+            if chunk.shape[0] < target:  # pad to a compiled shape
+                pad = np.broadcast_to(
+                    chunk[-1:], (target - chunk.shape[0],) + chunk.shape[1:])
                 chunk = np.concatenate([chunk, pad], axis=0)
             if self._batch_sharding is not None:
                 chunk = jax.device_put(chunk, self._batch_sharding)
             out.append(np.asarray(
                 self._forward(self.params, self.batch_stats, chunk)))
         return np.concatenate(out, axis=0)[:n]
+
+    def _pad_target(self, n: int) -> int:
+        """The compiled batch shape an n-image chunk pads to: the
+        smallest allowed bucket >= n, else the full batch_size."""
+        if self.pad_buckets is not None:
+            for b in self.pad_buckets:
+                if b >= n:
+                    return b
+        return self.batch_size
 
     def predict(self, images_u8: np.ndarray,
                 keys: Optional[List[str]] = None) -> PredictionResult:
@@ -356,9 +395,22 @@ class Predictor:
         return result, truth
 
 
+def power_of_two_buckets(max_batch: int) -> Tuple[int, ...]:
+    """The 1,2,4,...,max_batch padded-shape ladder (max included even
+    when not a power of two) — the 'auto' choice for online serving."""
+    buckets = []
+    b = 1
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(int(max_batch))
+    return tuple(buckets)
+
+
 def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None, batch_size: int = 256,
-                   mesh=None, image_size: Optional[int] = None) -> Predictor:
+                   mesh=None, image_size: Optional[int] = None,
+                   pad_buckets: Optional[Sequence[int]] = None) -> Predictor:
     """Predictor from in-memory variables {'params':..., 'batch_stats':...}.
 
     ``image_size`` sets the eval crop when ``cfg`` is inferred from the
@@ -374,14 +426,18 @@ def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
         cfg = infer_model_config(params, image_size=image_size or 224)
     model = get_classifier(cfg)
     return Predictor(model=model, params=params, batch_stats=batch_stats,
-                     class_names=class_names, batch_size=batch_size, mesh=mesh)
+                     class_names=class_names, batch_size=batch_size,
+                     mesh=mesh,
+                     pad_buckets=(tuple(pad_buckets) if pad_buckets
+                                  is not None else None))
 
 
 def load_predictor(weights_path: str,
                    class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None,
                    batch_size: int = 256, mesh=None,
-                   image_size: Optional[int] = None) -> Predictor:
+                   image_size: Optional[int] = None,
+                   pad_buckets: Optional[Sequence[int]] = None) -> Predictor:
     """Predictor from a weights artifact.
 
     ``.npz`` = save_weights_npz output (the final trainer's canonical
@@ -406,6 +462,10 @@ def load_predictor(weights_path: str,
             raise ValueError(
                 ".irpx artifacts are fixed single-device programs; load "
                 "the .npz/.pth weights with mesh= instead")
+        if pad_buckets is not None:
+            raise ValueError(
+                ".irpx artifacts bake ONE batch shape; pad_buckets needs "
+                "the live weights (.npz/.pth)")
         return load_exported_predictor(weights_path,
                                        class_names=class_names)
     if ext == ".npz":
@@ -428,7 +488,7 @@ def load_predictor(weights_path: str,
             "checkpoint; serve a trained final-weights artifact instead")
     return make_predictor(variables, class_names=class_names, cfg=cfg,
                           batch_size=batch_size, mesh=mesh,
-                          image_size=image_size)
+                          image_size=image_size, pad_buckets=pad_buckets)
 
 
 def load_class_names(spec: str) -> List[str]:

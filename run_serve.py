@@ -40,6 +40,15 @@ def main(argv=None):
                         "default is 256)")
     p.add_argument("--window-ms", type=float, default=5.0,
                    help="max time the batcher waits to fill a batch")
+    p.add_argument("--batch-buckets", default=None,
+                   help="allowed padded batch shapes: 'auto' = the "
+                        "1,2,4,...,batch-size ladder, or a comma list "
+                        "ending at batch-size.  A lone request then "
+                        "costs a batch-1 program instead of batch-size "
+                        "images of padded device work (TF-Serving "
+                        "allowed_batch_sizes).  Each bucket compiles its "
+                        "own program at boot — minutes-scale per bucket "
+                        "on a cold TPU; off by default")
     p.add_argument("--image-size", type=int, default=None,
                    help="eval crop; default = the npz artifact's embedded "
                         "training-time value, else 224")
@@ -80,9 +89,23 @@ def main(argv=None):
         from irp_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(MeshConfig())
 
+    pad_buckets = None
+    if args.batch_buckets:
+        from irp_tpu.infer import power_of_two_buckets
+        if args.weights.lower().endswith(".irpx"):
+            print("error: --batch-buckets needs the live weights; an "
+                  ".irpx bakes one batch shape", file=sys.stderr)
+            return 2
+        if args.batch_buckets == "auto":
+            pad_buckets = power_of_two_buckets(args.batch_size)
+        else:
+            pad_buckets = tuple(int(b) for b in
+                                args.batch_buckets.split(","))
+
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
-                               image_size=args.image_size)
+                               image_size=args.image_size,
+                               pad_buckets=pad_buckets)
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if predictor.source_size != 256:
             print(f"error: this artifact accepts only "
@@ -114,18 +137,24 @@ def main(argv=None):
             # artifact (it may have a different class count/order) —
             # reload_weights adopts the artifact's own names or keeps
             # the served ones only when the count still fits
-            return load_predictor(path, batch_size=args.batch_size,
-                                  mesh=mesh, image_size=args.image_size)
+            return load_predictor(
+                path, batch_size=args.batch_size, mesh=mesh,
+                image_size=args.image_size,
+                pad_buckets=(None if path.lower().endswith(".irpx")
+                             else pad_buckets))
     server = make_server(predictor, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
                          verbose=args.verbose, loader=loader,
                          weights_path=args.weights)
     cache = 256  # decode contract, data/pipeline.py::decode_to_rgb256
-    warm = np.zeros((1, cache, cache, 3), np.uint8)
+    shapes = pad_buckets or (1,)  # no buckets: 1 image pads to batch_size
     print(f"compiling {predictor.model.config.depth}-layer forward "
-          f"(batch {predictor.batch_size}, crop "
-          f"{predictor.model.config.image_size}) ...", flush=True)
-    predictor.predict_probs(warm)
+          f"(crop {predictor.model.config.image_size}, "
+          f"{'buckets ' + str(list(shapes)) if pad_buckets else 'batch ' + str(predictor.batch_size)}) ...",
+          flush=True)
+    for shape in shapes:  # compile EVERY served shape before traffic
+        predictor.predict_probs(
+            np.zeros((shape, cache, cache, 3), np.uint8))
 
     # SIGTERM (systemd/k8s/docker stop) must drain like Ctrl-C does:
     # stop accepting, finish in-flight dispatches, then exit 0 — not

@@ -105,6 +105,50 @@ def test_infer_model_config_recovers_variants(groups, wpg):
     assert (got.num_classes, got.hidden_dim) == (3, 16)
 
 
+def test_pad_buckets_identical_results(tiny_model, images48):
+    """Bucketed padding (TF-Serving allowed_batch_sizes) is a pure
+    perf knob: scores must be identical to always-pad-to-batch_size for
+    every request size, including multi-chunk ones."""
+    from irp_tpu.infer import make_predictor, power_of_two_buckets
+
+    model, variables = tiny_model
+    plain = make_predictor(variables, cfg=TINY, batch_size=8)
+    bucketed = make_predictor(variables, cfg=TINY, batch_size=8,
+                              pad_buckets=power_of_two_buckets(8))
+    assert bucketed.pad_buckets == (1, 2, 4, 8)
+    big = np.concatenate([images48, images48, images48])  # 15 images
+    for n in (1, 2, 3, 5, 8, 9, 15):
+        # a different compiled batch shape tiles reductions differently,
+        # so agreement is to float round-off, not bit-exact
+        np.testing.assert_allclose(
+            bucketed.predict_probs(big[:n]), plain.predict_probs(big[:n]),
+            rtol=1e-5, atol=1e-6)
+    # pad targets: smallest bucket >= n, full batch beyond the ladder
+    assert [bucketed._pad_target(n) for n in (1, 2, 3, 8)] == [1, 2, 4, 8]
+    assert plain._pad_target(3) == 8
+
+
+def test_pad_buckets_validation(tiny_model, tmp_path):
+    from irp_tpu.infer import load_predictor, make_predictor
+    from irp_tpu.infer import power_of_two_buckets
+
+    assert power_of_two_buckets(24) == (1, 2, 4, 8, 16, 24)
+    _, variables = tiny_model
+    with pytest.raises(ValueError, match="ending at batch_size"):
+        make_predictor(variables, cfg=TINY, batch_size=8,
+                       pad_buckets=(1, 2, 4))  # must end at batch_size
+    with pytest.raises(ValueError, match="ending at batch_size"):
+        make_predictor(variables, cfg=TINY, batch_size=8,
+                       pad_buckets=(0, 8))
+    # .irpx artifacts bake one shape — buckets are a live-weights knob
+    from irp_tpu.export import export_predictor
+    pred = make_predictor(variables, cfg=TINY, batch_size=4)
+    art = export_predictor(pred, str(tmp_path / "m.irpx"), source_size=48,
+                           gradcam=False)
+    with pytest.raises(ValueError, match="pad_buckets"):
+        load_predictor(art, pad_buckets=(1, 4))
+
+
 def test_pth_roundtrip_resnext(images48, tmp_path):
     """A converted ResNeXt .pth serves end-to-end: architecture (incl.
     groups/width) inferred from the weight tree, scores matching the

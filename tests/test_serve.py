@@ -225,6 +225,39 @@ def test_predict_raw_jpeg(server):
     assert body["latency_ms"] > 0
 
 
+def test_daemon_with_pad_buckets(predictor):
+    """The micro-batcher composes with bucketed padding: a lone request
+    dispatches through the batch-1 program and scores like the
+    full-batch daemon (to float round-off — different compiled shapes
+    tile reductions differently)."""
+    from irp_tpu.infer import make_predictor, power_of_two_buckets
+    from irp_tpu.serve import make_server
+
+    bucketed = make_predictor(
+        {"params": predictor.params, "batch_stats": predictor.batch_stats},
+        cfg=predictor.model.config, batch_size=8,
+        class_names=predictor.class_names,
+        pad_buckets=power_of_two_buckets(8))
+    # pil decode on both sides: the comparison must only see the
+    # batch-shape difference, not native-vs-PIL JPEG (+-1/255) noise
+    srv = make_server(bucketed, port=0, window_ms=5.0, decoder="pil")
+    srv.start()
+    try:
+        rng = np.random.default_rng(21)
+        blob = _jpeg_bytes(rng)
+        status, body = _post(srv, "/predict?topk=3", blob, "image/jpeg")
+        assert status == 200
+        (pred,) = body["predictions"]
+        from irp_tpu.data.pipeline import decode_blobs
+        want = predictor.predict_probs(decode_blobs([blob],
+                                                    decoder="pil"))[0]
+        np.testing.assert_allclose(
+            [t["prob"] for t in pred["topk"]],
+            sorted(want, reverse=True), rtol=1e-4, atol=1e-5)
+    finally:
+        srv.stop()
+
+
 def test_predict_json_batch(server):
     rng = np.random.default_rng(3)
     instances = [base64.b64encode(_jpeg_bytes(rng)).decode()

@@ -79,6 +79,10 @@ def main(argv=None):
     p.add_argument("--window-ms", type=float, default=5.0)
     p.add_argument("--distinct-images", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--batch-buckets", default=None,
+                   help="pass through to run_serve.py (e.g. 'auto'): "
+                        "bucketed padding — a lone request costs a "
+                        "batch-1 program, not batch-size images")
     p.add_argument("--startup-timeout", type=float, default=600.0,
                    help="max seconds to wait for the daemon's serving "
                         "line (TPU compile is minutes-scale)")
@@ -111,6 +115,8 @@ def main(argv=None):
            "--window-ms", str(args.window_ms)]
     if args.cpu:
         cmd.append("--cpu")
+    if args.batch_buckets:
+        cmd += ["--batch-buckets", args.batch_buckets]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True,
                             env=child_env)
@@ -187,6 +193,7 @@ def main(argv=None):
             "concurrency": args.concurrency,
             "batch_size": args.batch_size,
             "window_ms": args.window_ms,
+            "batch_buckets": args.batch_buckets,
             "depth": args.depth, "image_size": args.image_size,
             "mean_batch_fill": round(stats.get("mean_batch_fill", 0), 2),
             "latency_ms": latency_percentiles(latencies, digits=2),
