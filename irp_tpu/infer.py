@@ -407,6 +407,35 @@ def power_of_two_buckets(max_batch: int) -> Tuple[int, ...]:
     return tuple(buckets)
 
 
+def serving_buckets(spec: str, batch_size: int,
+                    n_data: int = 1) -> Tuple[int, ...]:
+    """Resolve a ``--batch-buckets`` spec (``'auto'`` or a comma list)
+    into a padded-shape ladder whose every rung splits over an
+    ``n_data``-way data axis.
+
+    Under data parallelism each compiled program shards its batch dim
+    ``n_data`` ways, so ``auto`` builds the ladder in ``n_data``
+    multiples (``n_data, 2*n_data, ..., batch_size``) instead of
+    starting at 1.  Raises ``ValueError`` for explicit buckets (or a
+    batch size) that cannot split.
+    """
+    if spec == "auto":
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch size {batch_size} does not split over the "
+                f"{n_data}-way data axis")
+        return tuple(n_data * b
+                     for b in power_of_two_buckets(batch_size // n_data))
+    buckets = tuple(int(b) for b in spec.split(","))
+    bad = [b for b in buckets if b % n_data]
+    if bad:
+        raise ValueError(
+            f"buckets {bad} do not split over the {n_data}-way data "
+            f"axis (every bucket must be a multiple of {n_data} under "
+            "data parallelism)")
+    return buckets
+
+
 def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None, batch_size: int = 256,
                    mesh=None, image_size: Optional[int] = None,

@@ -64,6 +64,10 @@ class ResNet(nn.Module):
     def __init__(self, block, layers, num_classes=1000, groups=1,
                  width_per_group=64):
         super().__init__()
+        if block.expansion == 1 and (groups != 1 or width_per_group != 64):
+            # match torchvision: BasicBlock has no grouped/widened form
+            raise ValueError(
+                "BasicBlock only supports groups=1 and base_width=64")
         self.inplanes = 64
         self.groups = groups
         self.base_width = width_per_group

@@ -680,9 +680,14 @@ class InferenceServer(ThreadingHTTPServer):
                     "artifact that embeds class names")
             else:
                 names = None
-            # compile + execute once BEFORE the swap (minutes-scale on a
-            # cold TPU program — old weights keep serving meanwhile)
-            new.predict_probs(np.zeros((1, 256, 256, 3), np.uint8))
+            # compile + execute EVERY served shape BEFORE the swap
+            # (minutes-scale per TPU program — old weights keep serving
+            # meanwhile); with pad buckets each bucket is its own
+            # program, and a post-swap cold jit would stall the single
+            # dispatch thread past every queued request's timeout
+            for shape in (new.pad_buckets or (1,)):
+                new.predict_probs(
+                    np.zeros((shape, 256, 256, 3), np.uint8))
             new.class_names = names  # predictor carries its own labels
             old = self.batcher.predictor
             self.batcher.predictor = new  # atomic: dispatches read once

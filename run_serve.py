@@ -91,16 +91,18 @@ def main(argv=None):
 
     pad_buckets = None
     if args.batch_buckets:
-        from irp_tpu.infer import power_of_two_buckets
         if args.weights.lower().endswith(".irpx"):
             print("error: --batch-buckets needs the live weights; an "
                   ".irpx bakes one batch shape", file=sys.stderr)
             return 2
-        if args.batch_buckets == "auto":
-            pad_buckets = power_of_two_buckets(args.batch_size)
-        else:
-            pad_buckets = tuple(int(b) for b in
-                                args.batch_buckets.split(","))
+        from irp_tpu.infer import serving_buckets
+        try:
+            pad_buckets = serving_buckets(
+                args.batch_buckets, args.batch_size,
+                n_data=mesh.shape["data"] if mesh is not None else 1)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
@@ -158,11 +160,22 @@ def main(argv=None):
 
     # SIGTERM (systemd/k8s/docker stop) must drain like Ctrl-C does:
     # stop accepting, finish in-flight dispatches, then exit 0 — not
-    # die mid-request with dropped connections
+    # die mid-request with dropped connections.  The handler must not
+    # raise (a signal landing outside serve_forever, or a repeat during
+    # the drain, would escape as a traceback): it asks the serve loop
+    # to exit from a helper thread (shutdown() blocks until the loop —
+    # running on THIS thread — exits) and the drain runs below, on the
+    # main thread, for both the signal and Ctrl-C paths.
     import signal
+    import threading
+
+    draining = threading.Event()
 
     def _term(signum, frame):
-        raise KeyboardInterrupt
+        if draining.is_set():
+            return  # second SIGTERM mid-drain: keep draining
+        draining.set()
+        threading.Thread(target=server.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
 
@@ -173,8 +186,10 @@ def main(argv=None):
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        print("shutting down", flush=True)
-        server.stop()
+        pass  # Ctrl-C: same drain path as SIGTERM
+    draining.set()  # a SIGTERM from here on must not re-enter shutdown
+    print("shutting down", flush=True)
+    server.stop()
     return 0
 
 

@@ -149,6 +149,24 @@ def test_pad_buckets_validation(tiny_model, tmp_path):
         load_predictor(art, pad_buckets=(1, 4))
 
 
+def test_serving_buckets_split_over_data_axis():
+    """The --batch-buckets resolver must only emit ladders every rung of
+    which splits over the data-parallel axis: 'auto' builds n_data
+    multiples (a 1-image bucket can never shard 4 ways), and explicit
+    rungs that cannot split are a clean ValueError, not a crash later
+    in Predictor validation."""
+    from irp_tpu.infer import power_of_two_buckets, serving_buckets
+
+    assert serving_buckets("auto", 64) == power_of_two_buckets(64)
+    assert serving_buckets("auto", 64, n_data=4) == (4, 8, 16, 32, 64)
+    assert serving_buckets("auto", 24, n_data=4) == (4, 8, 16, 24)
+    assert serving_buckets("8,32,64", 64, n_data=8) == (8, 32, 64)
+    with pytest.raises(ValueError, match="does not split"):
+        serving_buckets("auto", 30, n_data=4)
+    with pytest.raises(ValueError, match="do not split"):
+        serving_buckets("1,2,64", 64, n_data=4)
+
+
 def test_pth_roundtrip_resnext(images48, tmp_path):
     """A converted ResNeXt .pth serves end-to-end: architecture (incl.
     groups/width) inferred from the weight tree, scores matching the

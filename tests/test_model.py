@@ -123,6 +123,13 @@ def test_variants_require_bottleneck_depths():
                                       width_per_group=4).init(
             {"params": jax.random.PRNGKey(0)},
             jnp.zeros((1, 32, 32, 3), jnp.float32)))
+    # the torch reference must fail the same way (torchvision raises
+    # here too) — not silently build a vanilla basic-block net
+    torch = pytest.importorskip("torch")
+    from irp_tpu.models.torch_ref import TorchAnimalClassifier
+
+    with pytest.raises(ValueError, match="BasicBlock"):
+        TorchAnimalClassifier(depth=18, groups=32, width_per_group=4)
 
 
 def test_r18_param_count_matches_torchvision(model18):

@@ -258,6 +258,37 @@ def test_daemon_with_pad_buckets(predictor):
         srv.stop()
 
 
+def test_reload_warms_every_bucket(predictor):
+    """Hot reload must compile EVERY served bucket shape before the
+    atomic swap: a post-swap cold jit (minutes-scale on TPU) inside the
+    single dispatch thread would time out all queued requests —
+    breaking the documented zero-downtime contract."""
+    from irp_tpu.infer import make_predictor, power_of_two_buckets
+    from irp_tpu.serve import make_server
+
+    warmed = []
+
+    def loader(path):
+        p = make_predictor(
+            {"params": predictor.params,
+             "batch_stats": predictor.batch_stats},
+            cfg=predictor.model.config, batch_size=8,
+            class_names=predictor.class_names,
+            pad_buckets=power_of_two_buckets(8))
+        orig = p.predict_probs
+        p.predict_probs = lambda x: (warmed.append(int(x.shape[0])),
+                                     orig(x))[1]
+        return p
+
+    srv = make_server(predictor, port=0, loader=loader, weights_path="w0")
+    try:
+        srv.reload_weights("w1")
+        assert warmed == [1, 2, 4, 8]  # all rungs, pre-swap
+    finally:
+        srv.server_close()
+        srv.batcher.stop()
+
+
 def test_predict_json_batch(server):
     rng = np.random.default_rng(3)
     instances = [base64.b64encode(_jpeg_bytes(rng)).decode()

@@ -83,10 +83,22 @@ def main(argv=None):
                    help="pass through to run_serve.py (e.g. 'auto'): "
                         "bucketed padding — a lone request costs a "
                         "batch-1 program, not batch-size images")
-    p.add_argument("--startup-timeout", type=float, default=600.0,
+    p.add_argument("--startup-timeout", type=float, default=None,
                    help="max seconds to wait for the daemon's serving "
-                        "line (TPU compile is minutes-scale)")
+                        "line (TPU compile is minutes-scale; default "
+                        "600, scaled by the bucket count under "
+                        "--batch-buckets since boot compiles one "
+                        "program per bucket)")
     args = p.parse_args(argv)
+    if args.startup_timeout is None:
+        n_programs = 1
+        if args.batch_buckets:
+            from irp_tpu.infer import power_of_two_buckets
+            n_programs = len(
+                power_of_two_buckets(args.batch_size)
+                if args.batch_buckets == "auto"
+                else args.batch_buckets.split(","))
+        args.startup_timeout = 600.0 * n_programs
 
     # Capture the daemon's environment BEFORE sanitizing our own: only
     # the daemon needs the chip; the loadgen parent is pure HTTP client
