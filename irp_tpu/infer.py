@@ -436,6 +436,67 @@ def serving_buckets(spec: str, batch_size: int,
     return buckets
 
 
+def replicate_predictor(pred: Predictor, devices=None,
+                        n: Optional[int] = None) -> List[Predictor]:
+    """One independent :class:`Predictor` per device, weights copied.
+
+    The *other* way to use a multi-chip host for online serving (vs
+    ``mesh=``, which shards each batch over the data axis and is the
+    bulk-scoring choice): each device holds a FULL model copy and runs
+    its own single-device program, so concurrent micro-batches dispatch
+    in parallel with no collectives and single-chip latency — the
+    TF-Serving / Triton instance-group pattern.  Wire the returned list
+    into :class:`irp_tpu.serve.MicroBatcher` (one dispatch thread per
+    replica).
+
+    ``devices`` selects explicit devices; ``n`` takes the first n local
+    devices; default is every local device.  Raises ``ValueError`` for
+    mesh-sharded predictors (pick ONE strategy) and exported programs
+    (their device assignment is baked — replicate from the .npz/.pth).
+    """
+    import jax
+
+    if pred.mesh is not None:
+        raise ValueError(
+            "predictor is already mesh-sharded; replicas and batch "
+            "sharding are alternative strategies — build the base "
+            "predictor without mesh=")
+    if pred.source_size is not None:
+        raise ValueError(
+            "an exported (.irpx) program has a fixed device assignment; "
+            "replicate from the .npz/.pth weights instead")
+    if devices is None:
+        devices = jax.local_devices()
+        if n is not None:
+            if n > len(devices):
+                raise ValueError(
+                    f"asked for {n} replicas but only {len(devices)} "
+                    "local devices are attached")
+            devices = devices[:n]
+    replicas = []
+    for d in devices:
+        put = lambda t, d=d: jax.device_put(t, d)  # noqa: E731
+        replicas.append(Predictor(
+            model=pred.model,
+            params=jax.tree_util.tree_map(put, pred.params),
+            batch_stats=jax.tree_util.tree_map(put, pred.batch_stats),
+            class_names=pred.class_names,
+            batch_size=pred.batch_size,
+            pad_buckets=pred.pad_buckets))
+    return replicas
+
+
+def predictor_device(pred: Predictor):
+    """The device a (non-sharded) predictor's weights live on."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(pred.params)
+    if not leaves or not hasattr(leaves[0], "devices"):
+        return None  # host numpy weights: not yet committed anywhere
+    devs = leaves[0].devices()
+    return next(iter(devs)) if len(devs) == 1 else None
+
+
 def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None, batch_size: int = 256,
                    mesh=None, image_size: Optional[int] = None,

@@ -125,11 +125,26 @@ class MicroBatcher:
     pays at most ``window_ms`` extra latency.
     """
 
-    def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
+    def __init__(self, predictor, max_batch: Optional[int] = None,
                  window_ms: float = 5.0, autostart: bool = True,
                  max_pending: Optional[int] = None):
-        self.predictor = predictor
-        self.max_batch = (predictor.batch_size if max_batch is None
+        # ``predictor`` is one Predictor or a sequence of per-device
+        # replicas (irp_tpu.infer.replicate_predictor): one dispatch
+        # thread per replica, all draining the shared queue, so
+        # concurrent micro-batches run on different chips in parallel
+        preds = (list(predictor) if isinstance(predictor, (list, tuple))
+                 else [predictor])
+        if not preds:
+            raise ValueError("need at least one predictor")
+        if len(preds) > 1 and len({
+                (p.batch_size, p.pad_buckets,
+                 p.model.config.image_size, p.num_classes)
+                for p in preds}) != 1:
+            raise ValueError(
+                "replicas must share batch_size/pad_buckets/crop/classes "
+                "— build them with replicate_predictor from ONE base")
+        self.predictors: List[Predictor] = preds
+        self.max_batch = (preds[0].batch_size if max_batch is None
                           else int(max_batch))
         if self.max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
@@ -141,7 +156,7 @@ class MicroBatcher:
         self.max_pending = (max(64, 8 * self.max_batch)
                             if max_pending is None else int(max_pending))
         self._queue: queue.Queue = queue.Queue(maxsize=self.max_pending)
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
         self._stopped = False
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "batches": 0,
@@ -151,29 +166,46 @@ class MicroBatcher:
         if autostart:
             self.start()
 
+    @property
+    def predictor(self) -> Predictor:
+        """The served model (first replica when there are several)."""
+        return self.predictors[0]
+
+    @predictor.setter
+    def predictor(self, value: Predictor) -> None:
+        if len(self.predictors) > 1:
+            # a single assignment would silently collapse the replica
+            # set to one device — reload paths must swap .predictors
+            raise ValueError(
+                "this batcher serves replicas; assign a full list to "
+                ".predictors instead")
+        self.predictors = [value]
+
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:
-        if self._thread is not None and self._thread.is_alive():
-            return
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="irp-microbatch")
-        self._thread.start()
+        self._threads = [t for t in self._threads if t.is_alive()]
+        for idx in range(len(self._threads), len(self.predictors)):
+            t = threading.Thread(target=self._run, args=(idx,), daemon=True,
+                                 name=f"irp-microbatch-{idx}")
+            t.start()
+            self._threads.append(t)
 
     def stop(self, timeout: float = 10.0) -> None:
         # flag first: new submits reject immediately, and _run's polling
         # get() notices even when the sentinel can't be enqueued
         self._stopped = True
-        if self._thread is not None:
+        for _ in self._threads:
             try:
                 # fast-path wake; NEVER a blocking put — a full queue
-                # with the dispatch thread stuck on a hung device (the
+                # with a dispatch thread stuck on a hung device (the
                 # documented wedged-tunnel mode) would hang stop()
                 # forever before its join timeout even started
                 self._queue.put_nowait(_STOP)
             except queue.Full:
-                pass
-            self._thread.join(timeout)
-            self._thread = None
+                break
+        for t in self._threads:
+            t.join(timeout)
+        self._threads = []
         # anything still queued (incl. a never-started batcher) must not
         # leave its waiter blocked until the full request timeout
         self._drain_reject(RuntimeError("batcher stopped"))
@@ -237,7 +269,7 @@ class MicroBatcher:
         return self.submit_async(images_u8).wait(timeout)
 
     # -- dispatch thread ---------------------------------------------------
-    def _run(self) -> None:
+    def _run(self, idx: int = 0) -> None:
         while True:
             try:
                 # polling get: stop() may be unable to enqueue its
@@ -268,12 +300,12 @@ class MicroBatcher:
                     break
                 group.append(nxt)
                 total += int(nxt.images.shape[0])
-            self._dispatch(group)
+            self._dispatch(group, idx)
             if stopping:
                 self._drain_reject(RuntimeError("batcher stopped"))
                 return
 
-    def _dispatch(self, group: List[_Pending]) -> None:
+    def _dispatch(self, group: List[_Pending], idx: int = 0) -> None:
         live = [p for p in group if not p.cancelled]
         if len(live) < len(group):
             with self._lock:
@@ -287,10 +319,14 @@ class MicroBatcher:
         for p in live:
             buckets.setdefault(p.images.shape[1:3], []).append(p)
         for bucket in buckets.values():
-            self._dispatch_same_shape(bucket)
+            self._dispatch_same_shape(bucket, idx)
 
-    def _dispatch_same_shape(self, group: List[_Pending]) -> None:
-        predictor = self.predictor  # ONE read: hot reload swaps this attr
+    def _dispatch_same_shape(self, group: List[_Pending],
+                             idx: int = 0) -> None:
+        # ONE list read: hot reload swaps .predictors atomically, so a
+        # dispatch serves a consistent replica from either generation
+        preds = self.predictors
+        predictor = preds[idx % len(preds)]
         for p in group:
             p.predictor = predictor
         try:
@@ -364,6 +400,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "uptime_s": round(time.monotonic() - self.server.t_start, 1),
                 "generation": self.server._generation,
                 "weights": self.server._weights_path,
+                "replicas": len(self.server.batcher.predictors),
                 "model": {"depth": cfg.depth,
                           "num_classes": cfg.num_classes,
                           "image_size": cfg.image_size,
@@ -597,8 +634,9 @@ class InferenceServer(ThreadingHTTPServer):
         if self.class_names is not None:
             # the predictor is the per-dispatch source of truth for
             # names (see _Pending.predictor) — sync an explicit override
-            # onto it so both views always agree
-            batcher.predictor.class_names = self.class_names
+            # onto every replica so all views always agree
+            for p in batcher.predictors:
+                p.class_names = self.class_names
         self.decoder = decoder
         self.request_timeout_s = request_timeout_s
         self.max_request_bytes = max_request_bytes
@@ -680,17 +718,31 @@ class InferenceServer(ThreadingHTTPServer):
                     "artifact that embeds class names")
             else:
                 names = None
-            # compile + execute EVERY served shape BEFORE the swap
+            # Build the full replacement set, then compile + execute
+            # EVERY served shape on EVERY replica BEFORE the swap
             # (minutes-scale per TPU program — old weights keep serving
             # meanwhile); with pad buckets each bucket is its own
-            # program, and a post-swap cold jit would stall the single
-            # dispatch thread past every queued request's timeout
-            for shape in (new.pad_buckets or (1,)):
-                new.predict_probs(
-                    np.zeros((shape, 256, 256, 3), np.uint8))
-            new.class_names = names  # predictor carries its own labels
+            # program, and a post-swap cold jit would stall a dispatch
+            # thread past every queued request's timeout
             old = self.batcher.predictor
-            self.batcher.predictor = new  # atomic: dispatches read once
+            olds = self.batcher.predictors
+            if len(olds) > 1:
+                from irp_tpu.infer import (predictor_device,
+                                           replicate_predictor)
+                devices = [predictor_device(p) for p in olds]
+                if any(d is None for d in devices):
+                    raise ValueError(
+                        "cannot recover the replica devices of the "
+                        "serving set; restart the daemon to reload")
+                news = replicate_predictor(new, devices=devices)
+            else:
+                news = [new]
+            for pred in news:
+                for shape in (pred.pad_buckets or (1,)):
+                    pred.predict_probs(
+                        np.zeros((shape, 256, 256, 3), np.uint8))
+                pred.class_names = names  # per-dispatch source of truth
+            self.batcher.predictors = news  # atomic: dispatches read once
             if self.batcher.max_batch == old.batch_size:
                 # the micro-batch cap was derived from the old compiled
                 # batch shape — track the new one, or every dispatch
@@ -705,6 +757,7 @@ class InferenceServer(ThreadingHTTPServer):
                     "generation": self._generation,
                     "num_classes": int(new.num_classes),
                     "previous_num_classes": int(old.num_classes),
+                    "replicas": len(news),
                     "class_names": names}
 
     def record_explain(self, n_images: int, latency_ms: float) -> None:
@@ -795,7 +848,7 @@ class InferenceServer(ThreadingHTTPServer):
         self.batcher.stop()
 
 
-def make_server(predictor: Predictor, host: str = "127.0.0.1",
+def make_server(predictor, host: str = "127.0.0.1",
                 port: int = 0, class_names=None,
                 max_batch: Optional[int] = None, window_ms: float = 5.0,
                 decoder: str = "auto", verbose: bool = False,
@@ -804,6 +857,9 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 ) -> InferenceServer:
     """An :class:`InferenceServer` (not yet serving) for ``predictor``.
 
+    ``predictor`` is one Predictor or a list of per-device replicas
+    (``irp_tpu.infer.replicate_predictor``) — with replicas, concurrent
+    micro-batches dispatch to different chips in parallel.
     ``port=0`` binds an ephemeral port (read ``server.port`` after).
     ``class_names`` defaults to the predictor's own.  ``loader`` (a
     ``path -> Predictor`` callable) enables hot reload via
@@ -811,7 +867,8 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
     """
     batcher = MicroBatcher(predictor, max_batch=max_batch,
                            window_ms=window_ms)
-    names = class_names if class_names is not None else predictor.class_names
+    names = (class_names if class_names is not None
+             else batcher.predictor.class_names)
     return InferenceServer((host, port), batcher, class_names=names,
                            decoder=decoder, verbose=verbose,
                            request_timeout_s=request_timeout_s,

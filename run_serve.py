@@ -55,6 +55,15 @@ def main(argv=None):
     p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--replicas", default=None,
+                   help="'auto' or N: one FULL model copy per device "
+                        "with its own dispatch thread — concurrent "
+                        "micro-batches run on different chips in "
+                        "parallel at single-chip latency (TF-Serving / "
+                        "Triton instance groups).  The online-traffic "
+                        "alternative to --data-parallel (which shards "
+                        "each batch and is the bulk-scoring choice); "
+                        "the two are mutually exclusive")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--allow-reload", action="store_true",
                    help="enable POST /reload {\"weights\": path}: hot-swap "
@@ -82,6 +91,27 @@ def main(argv=None):
     from irp_tpu.serve import make_server
 
     class_names = load_class_names(args.classes) if args.classes else None
+
+    n_replicas = None
+    if args.replicas is not None:
+        if args.data_parallel:
+            print("error: --replicas (a full model copy per device) and "
+                  "--data-parallel (one batch sharded over devices) are "
+                  "alternative strategies; pick one", file=sys.stderr)
+            return 2
+        if args.weights.lower().endswith(".irpx"):
+            print("error: --replicas needs the live weights; an .irpx "
+                  "program's device assignment is baked", file=sys.stderr)
+            return 2
+        n_devices = len(jax.local_devices())
+        if args.replicas == "auto":
+            n_replicas = n_devices
+        else:
+            n_replicas = int(args.replicas)
+            if not 1 <= n_replicas <= n_devices:
+                print(f"error: --replicas {n_replicas} needs that many "
+                      f"local devices, have {n_devices}", file=sys.stderr)
+                return 2
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
@@ -127,6 +157,11 @@ def main(argv=None):
                   f"{predictor.model.config.image_size}; --image-size "
                   "is ignored", file=sys.stderr)
 
+    served = predictor
+    if n_replicas is not None:
+        from irp_tpu.infer import replicate_predictor
+        served = replicate_predictor(predictor, n=n_replicas)
+
     # Bind the socket FIRST (fails fast on a busy port — make_server
     # does not serve yet), then compile + warm the forward before
     # accepting traffic so the first client never eats the
@@ -144,7 +179,7 @@ def main(argv=None):
                 image_size=args.image_size,
                 pad_buckets=(None if path.lower().endswith(".irpx")
                              else pad_buckets))
-    server = make_server(predictor, host=args.host, port=args.port,
+    server = make_server(served, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
                          verbose=args.verbose, loader=loader,
                          weights_path=args.weights)
@@ -152,11 +187,13 @@ def main(argv=None):
     shapes = pad_buckets or (1,)  # no buckets: 1 image pads to batch_size
     print(f"compiling {predictor.model.config.depth}-layer forward "
           f"(crop {predictor.model.config.image_size}, "
-          f"{'buckets ' + str(list(shapes)) if pad_buckets else 'batch ' + str(predictor.batch_size)}) ...",
+          f"{'buckets ' + str(list(shapes)) if pad_buckets else 'batch ' + str(predictor.batch_size)}"
+          f"{f', {n_replicas} replicas' if n_replicas else ''}) ...",
           flush=True)
-    for shape in shapes:  # compile EVERY served shape before traffic
-        predictor.predict_probs(
-            np.zeros((shape, cache, cache, 3), np.uint8))
+    for pred in server.batcher.predictors:
+        for shape in shapes:  # compile EVERY served shape before traffic
+            pred.predict_probs(
+                np.zeros((shape, cache, cache, 3), np.uint8))
 
     # SIGTERM (systemd/k8s/docker stop) must drain like Ctrl-C does:
     # stop accepting, finish in-flight dispatches, then exit 0 — not

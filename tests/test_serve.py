@@ -289,6 +289,88 @@ def test_reload_warms_every_bucket(predictor):
         srv.batcher.stop()
 
 
+def test_replica_dispatch_routing_and_scores(predictor):
+    """Per-device replicas (replicate_predictor): each dispatch thread
+    serves its own full model copy on its own device — thread i routes
+    to replica i, every replica scores identically to the base, and the
+    batcher refuses a mixed-geometry replica set."""
+    from irp_tpu.infer import (make_predictor, predictor_device,
+                               replicate_predictor)
+    from irp_tpu.serve import MicroBatcher
+
+    reps = replicate_predictor(predictor, n=4)
+    assert len({predictor_device(p) for p in reps}) == 4  # distinct chips
+    rng = np.random.default_rng(31)
+    imgs = rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+    want = predictor.predict_probs(imgs)
+    for r in (reps[0], reps[3]):
+        np.testing.assert_allclose(r.predict_probs(imgs), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    mb = MicroBatcher(reps, window_ms=2.0, autostart=False)
+    try:
+        assert mb.predictor is reps[0]
+        for idx in (0, 2, 3):  # deterministic routing, no thread races
+            pending = mb.submit_async(imgs[:1])
+            mb._dispatch([pending], idx)
+            assert pending.predictor is reps[idx]
+            np.testing.assert_allclose(pending.wait(5.0)[0], want[0],
+                                       rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError, match="replicas"):
+            mb.predictor = predictor  # must not collapse the set
+        # concurrent path: threads come up (one per replica) and serve
+        mb.start()
+        pendings = [mb.submit_async(imgs[i % 3][None]) for i in range(8)]
+        for i, p in enumerate(pendings):
+            np.testing.assert_allclose(p.wait(30.0)[0], want[i % 3],
+                                       rtol=1e-5, atol=1e-6)
+        assert len(mb._threads) == 4
+    finally:
+        mb.stop()
+
+    bad = make_predictor(
+        {"params": predictor.params, "batch_stats": predictor.batch_stats},
+        cfg=predictor.model.config, batch_size=16)  # != reps' 8
+    with pytest.raises(ValueError, match="share"):
+        MicroBatcher([reps[0], bad], autostart=False)
+
+
+def test_reload_replicated_daemon(predictor):
+    """Hot reload on a replica daemon rebuilds the FULL replica set on
+    the same devices (every copy warmed pre-swap) — not a silent
+    collapse to one device."""
+    from irp_tpu.infer import predictor_device, replicate_predictor
+    from irp_tpu.serve import make_server
+
+    reps = replicate_predictor(predictor, n=3)
+    old_devices = [predictor_device(p) for p in reps]
+
+    def loader(path):
+        from irp_tpu.infer import make_predictor
+        return make_predictor(
+            {"params": predictor.params,
+             "batch_stats": predictor.batch_stats},
+            cfg=predictor.model.config, batch_size=8,
+            class_names=predictor.class_names)
+
+    srv = make_server(reps, port=0, loader=loader, weights_path="w0")
+    try:
+        out = srv.reload_weights("w1")
+        assert out["replicas"] == 3
+        news = srv.batcher.predictors
+        old_ids = {id(r) for r in reps}
+        assert len(news) == 3 and not old_ids & {id(n) for n in news}
+        assert [predictor_device(p) for p in news] == old_devices
+        rng = np.random.default_rng(32)
+        img = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            news[2].predict_probs(img), predictor.predict_probs(img),
+            rtol=1e-5, atol=1e-6)
+    finally:
+        srv.server_close()
+        srv.batcher.stop()
+
+
 def test_predict_json_batch(server):
     rng = np.random.default_rng(3)
     instances = [base64.b64encode(_jpeg_bytes(rng)).decode()
@@ -444,6 +526,67 @@ def test_class_name_count_mismatch_rejected(predictor):
 
 
 # -- CLI ------------------------------------------------------------------
+
+def test_run_serve_cli_replicas_e2e(tmp_path, predictor):
+    """--replicas 2 boots a per-device replica set: healthz reports it,
+    requests score through the shared queue, and combining --replicas
+    with --data-parallel is a clean CLI error (they are alternative
+    multi-device strategies)."""
+    import subprocess
+    import sys
+    import time
+
+    from irp_tpu.train.checkpoint import save_weights_npz
+    from irp_tpu.utils.subproc import cpu_child_env
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    weights = tmp_path / "w.npz"
+    save_weights_npz(str(weights), predictor.params, predictor.batch_stats,
+                     meta={"image_size": 32})
+    env = cpu_child_env(n_devices=2)
+
+    bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "run_serve.py"), "--weights",
+         str(weights), "--cpu", "--replicas", "auto", "--data-parallel"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert bad.returncode == 2 and "alternative strategies" in bad.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "run_serve.py"), "--weights",
+         str(weights), "--port", "0", "--cpu", "--batch-size", "4",
+         "--replicas", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        port = None
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("run_serve exited before serving")
+            if line.startswith("serving on http://"):
+                port = int(line.split(":")[2].split()[0])
+                break
+        assert port, "no serving line within 180s"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["replicas"] == 2
+        rng = np.random.default_rng(6)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=_jpeg_bytes(rng),
+            headers={"Content-Type": "image/jpeg"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = json.loads(r.read())
+        assert body["n"] == 1
+        proc.terminate()
+        out, _ = proc.communicate(timeout=30)
+        assert proc.returncode == 0, out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(10)
+
 
 def test_run_serve_cli_e2e(tmp_path, predictor):
     """run_serve.py end-to-end: artifact -> daemon -> scored request."""

@@ -83,6 +83,10 @@ def main(argv=None):
                    help="pass through to run_serve.py (e.g. 'auto'): "
                         "bucketed padding — a lone request costs a "
                         "batch-1 program, not batch-size images")
+    p.add_argument("--replicas", default=None,
+                   help="pass through to run_serve.py ('auto' or N): "
+                        "one full model copy per device, parallel "
+                        "dispatch threads")
     p.add_argument("--startup-timeout", type=float, default=None,
                    help="max seconds to wait for the daemon's serving "
                         "line (TPU compile is minutes-scale; default "
@@ -129,6 +133,8 @@ def main(argv=None):
         cmd.append("--cpu")
     if args.batch_buckets:
         cmd += ["--batch-buckets", args.batch_buckets]
+    if args.replicas:
+        cmd += ["--replicas", str(args.replicas)]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True,
                             env=child_env)
@@ -206,6 +212,7 @@ def main(argv=None):
             "batch_size": args.batch_size,
             "window_ms": args.window_ms,
             "batch_buckets": args.batch_buckets,
+            "replicas": args.replicas,
             "depth": args.depth, "image_size": args.image_size,
             "mean_batch_fill": round(stats.get("mean_batch_fill", 0), 2),
             "latency_ms": latency_percentiles(latencies, digits=2),
