@@ -468,18 +468,21 @@ def replicate_predictor(pred: Predictor, devices=None,
     if devices is None:
         devices = jax.local_devices()
         if n is not None:
-            if n > len(devices):
+            if not 1 <= n <= len(devices):
                 raise ValueError(
-                    f"asked for {n} replicas but only {len(devices)} "
-                    "local devices are attached")
+                    f"asked for {n} replicas but {len(devices)} local "
+                    "devices are attached (need 1 <= n <= that)")
             devices = devices[:n]
+    elif n is not None:
+        raise ValueError("pass devices= or n=, not both")
+    elif not devices:
+        raise ValueError("devices is empty")
     replicas = []
     for d in devices:
-        put = lambda t, d=d: jax.device_put(t, d)  # noqa: E731
         replicas.append(Predictor(
             model=pred.model,
-            params=jax.tree_util.tree_map(put, pred.params),
-            batch_stats=jax.tree_util.tree_map(put, pred.batch_stats),
+            params=jax.device_put(pred.params, d),
+            batch_stats=jax.device_put(pred.batch_stats, d),
             class_names=pred.class_names,
             batch_size=pred.batch_size,
             pad_buckets=pred.pad_buckets))

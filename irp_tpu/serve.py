@@ -149,11 +149,11 @@ class MicroBatcher:
         if self.max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
         self.window_s = max(float(window_ms), 0.0) / 1e3
-        # Bounded queue = load shedding: beyond ~8 batches of backlog a
-        # request would time out waiting anyway, so reject at the door
-        # (ServerOverloadedError -> HTTP 503) instead of queueing work
-        # nobody will collect.
-        self.max_pending = (max(64, 8 * self.max_batch)
+        # Bounded queue = load shedding: beyond ~8 batches of backlog
+        # PER DISPATCH THREAD a request would time out waiting anyway,
+        # so reject at the door (ServerOverloadedError -> HTTP 503)
+        # instead of queueing work nobody will collect.
+        self.max_pending = (max(64, 8 * self.max_batch) * len(preds)
                             if max_pending is None else int(max_pending))
         self._queue: queue.Queue = queue.Queue(maxsize=self.max_pending)
         self._threads: List[threading.Thread] = []
@@ -183,12 +183,20 @@ class MicroBatcher:
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:
-        self._threads = [t for t in self._threads if t.is_alive()]
-        for idx in range(len(self._threads), len(self.predictors)):
-            t = threading.Thread(target=self._run, args=(idx,), daemon=True,
-                                 name=f"irp-microbatch-{idx}")
-            t.start()
-            self._threads.append(t)
+        # one dispatch thread per replica index: slot i always routes to
+        # predictors[i], so a respawn after a dead/lost thread restores
+        # THAT replica's service instead of doubling up another's
+        if len(self._threads) != len(self.predictors):
+            alive = {t.name: t for t in self._threads if t.is_alive()}
+            self._threads = [alive.get(f"irp-microbatch-{i}")
+                             for i in range(len(self.predictors))]
+        for idx, t in enumerate(self._threads):
+            if t is None or not t.is_alive():
+                t = threading.Thread(target=self._run, args=(idx,),
+                                     daemon=True,
+                                     name=f"irp-microbatch-{idx}")
+                t.start()
+                self._threads[idx] = t
 
     def stop(self, timeout: float = 10.0) -> None:
         # flag first: new submits reject immediately, and _run's polling
@@ -203,8 +211,12 @@ class MicroBatcher:
                 self._queue.put_nowait(_STOP)
             except queue.Full:
                 break
+        # ONE shared deadline: N wedged threads must not stretch stop()
+        # to N x timeout (a k8s stop grace period would SIGKILL mid-drain)
+        deadline = time.monotonic() + timeout
         for t in self._threads:
-            t.join(timeout)
+            if t is not None:
+                t.join(max(0.0, deadline - time.monotonic()))
         self._threads = []
         # anything still queued (incl. a never-started batcher) must not
         # leave its waiter blocked until the full request timeout

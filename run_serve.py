@@ -107,7 +107,12 @@ def main(argv=None):
         if args.replicas == "auto":
             n_replicas = n_devices
         else:
-            n_replicas = int(args.replicas)
+            try:
+                n_replicas = int(args.replicas)
+            except ValueError:
+                print(f"error: --replicas must be 'auto' or an integer, "
+                      f"got {args.replicas!r}", file=sys.stderr)
+                return 2
             if not 1 <= n_replicas <= n_devices:
                 print(f"error: --replicas {n_replicas} needs that many "
                       f"local devices, have {n_devices}", file=sys.stderr)
@@ -159,6 +164,21 @@ def main(argv=None):
 
     served = predictor
     if n_replicas is not None:
+        # probe-bind the port BEFORE the per-device weight copies (the
+        # "fail fast on a busy port" contract below: replication can be
+        # minutes-scale through a remote device tunnel)
+        if args.port:
+            import socket
+            probe = socket.socket()
+            probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            try:
+                probe.bind((args.host, args.port))
+            except OSError as e:
+                print(f"error: cannot bind {args.host}:{args.port}: {e}",
+                      file=sys.stderr)
+                return 2
+            finally:
+                probe.close()
         from irp_tpu.infer import replicate_predictor
         served = replicate_predictor(predictor, n=n_replicas)
 

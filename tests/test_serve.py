@@ -307,9 +307,16 @@ def test_replica_dispatch_routing_and_scores(predictor):
         np.testing.assert_allclose(r.predict_probs(imgs), want,
                                    rtol=1e-5, atol=1e-6)
 
+    with pytest.raises(ValueError, match="replicas"):
+        replicate_predictor(predictor, n=0)
+    with pytest.raises(ValueError, match="not both"):
+        replicate_predictor(predictor, devices=[None], n=2)
+
     mb = MicroBatcher(reps, window_ms=2.0, autostart=False)
     try:
         assert mb.predictor is reps[0]
+        # load-shedding bound scales with the dispatch parallelism
+        assert mb.max_pending == max(64, 8 * mb.max_batch) * 4
         for idx in (0, 2, 3):  # deterministic routing, no thread races
             pending = mb.submit_async(imgs[:1])
             mb._dispatch([pending], idx)
@@ -318,8 +325,12 @@ def test_replica_dispatch_routing_and_scores(predictor):
                                        rtol=1e-5, atol=1e-6)
         with pytest.raises(ValueError, match="replicas"):
             mb.predictor = predictor  # must not collapse the set
-        # concurrent path: threads come up (one per replica) and serve
+        # concurrent path: threads come up (one per replica) and serve;
+        # a second start() is idempotent (no duplicate slots)
         mb.start()
+        mb.start()
+        assert sorted(t.name for t in mb._threads) == [
+            f"irp-microbatch-{i}" for i in range(4)]
         pendings = [mb.submit_async(imgs[i % 3][None]) for i in range(8)]
         for i, p in enumerate(pendings):
             np.testing.assert_allclose(p.wait(30.0)[0], want[i % 3],
