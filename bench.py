@@ -141,12 +141,14 @@ def main():
     n_samples = int(os.environ.get("BENCH_SAMPLES", "4096"))
 
     bn_mode = os.environ.get("BENCH_BN_MODE", "trainable_only")
+    remat = os.environ.get("BENCH_REMAT") == "1"
     _PHASE = "backend-init"
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
     n_classes = 10
     model_cfg = ModelConfig(depth=50, num_classes=n_classes, image_size=224,
-                            compute_dtype="bfloat16", bn_stats_mode=bn_mode)
+                            compute_dtype="bfloat16", bn_stats_mode=bn_mode,
+                            remat_trainable_blocks=remat)
     train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
                             batch_size=batch_size)
 
@@ -266,6 +268,7 @@ def main():
         "intensity": intensity,
         "final_loss": last_loss,
         "bn_stats_mode": bn_mode,
+        "remat_trainable_blocks": remat,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
     import math

@@ -101,6 +101,12 @@ def main(argv=None):
                         "inference-form frozen BN, ~28%% faster "
                         "(BENCH.md) but numerically different training "
                         "trajectories")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the trainable-stage blocks: "
+                        "backward recomputes activations instead of "
+                        "holding them in HBM — headroom for bigger "
+                        "batches / deeper variants at ~1/3 extra "
+                        "trainable-stage FLOPs (numerics unchanged)")
     args = p.parse_args(argv)
 
     from irp_tpu.utils.compile_cache import enable_persistent_cache
@@ -184,6 +190,7 @@ def main(argv=None):
                              num_classes=info.num_classes,
                              image_size=args.image_size,
                              bn_stats_mode=args.bn_stats_mode,
+                             remat_trainable_blocks=args.remat,
                              pretrained_path=weights)
 
     space_fn = None

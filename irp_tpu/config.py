@@ -104,6 +104,11 @@ class ModelConfig:
     # off-TPU — slow, tests only), 'off' disables.  Perf-only switch: the
     # parameter tree and numerics class (bf16 conv outputs) are unchanged.
     fused_frozen_blocks: str = "off"
+    # jax.checkpoint every trainable-stage block: backward recomputes
+    # activations instead of holding them in HBM — trades ~1/3 more
+    # trainable-stage FLOPs for memory headroom (bigger batches, deeper
+    # variants).  Perf-neutral to numerics and the parameter tree.
+    remat_trainable_blocks: bool = False
     pretrained_path: str | None = None  # torch state_dict .pth to convert
 
 

@@ -69,7 +69,8 @@ class Classifier(nn.Module):
                                frozen_prefix=frozen_prefix,
                                bn_stats_mode=cfg.bn_stats_mode,
                                precision=precision,
-                               fused_frozen_blocks=fused)
+                               fused_frozen_blocks=fused,
+                               remat_blocks=cfg.remat_trainable_blocks)
         self.head_dense1 = nn.Dense(cfg.hidden_dim, dtype=dtype,
                                     param_dtype=jnp.float32,
                                     precision=precision)

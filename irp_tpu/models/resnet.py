@@ -221,6 +221,15 @@ class ResNet(nn.Module):
     # depths, frozen stage, inference-form BN, stride 1, bf16, default
     # precision.  Parameter tree is unchanged.
     fused_frozen_blocks: bool = False
+    # jax.checkpoint (remat) every TRAINABLE-stage block: the backward
+    # pass recomputes the block's activations instead of holding them
+    # in HBM through the whole forward — the standard TPU trade of
+    # FLOPs for memory headroom (bigger batches / deeper variants on
+    # the same chip).  Frozen stages are excluded: stop_gradient
+    # already prunes their backward graph, so XLA frees those
+    # activations without help.  Numerics and the parameter tree are
+    # unchanged (test_model.py locks both).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -274,9 +283,14 @@ class ResNet(nn.Module):
                                   groups=self.groups,
                                   width_per_group=self.width_per_group,
                                   dtype=self.dtype)
-                x = block_cls(filters=self.num_filters * 2 ** i, stride=stride,
-                              conv=conv, norm=norm,
-                              name=f"{STAGE_NAMES[i]}_block{j}", **kwargs)(x)
+                cls = block_cls
+                if self.remat_blocks and not frozen:
+                    # lifted transform: the variable tree/naming is
+                    # preserved, so checkpoints interchange either way
+                    cls = nn.remat(block_cls)
+                x = cls(filters=self.num_filters * 2 ** i, stride=stride,
+                        conv=conv, norm=norm,
+                        name=f"{STAGE_NAMES[i]}_block{j}", **kwargs)(x)
             if (i + 1) == self.frozen_prefix:
                 # Single cut: no backward graph for the frozen prefix.
                 x = jax.lax.stop_gradient(x)

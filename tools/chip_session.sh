@@ -101,6 +101,11 @@ run_stage rehearsal     21600 python examples/dress_rehearsal.py \
 run_stage bench_serve   1800 python tools/bench_serve.py --synthetic \
     --requests 2000 --concurrency 16 --startup-timeout 900
 
+# Lowest priority: remat (jax.checkpoint) cost/benefit on real HBM —
+# throughput delta + peak-HBM delta vs the default path at batch 256.
+run_stage bench_remat   2400 env BENCH_BUDGET_SECS=2100 BENCH_REMAT=1 \
+    python bench.py
+
 # Rehearsal's structured result lives in its work dir; mirror it too.
 cp -f /tmp/chip/rehearsal/rehearsal_summary.json \
     /root/repo/artifacts/chip/rehearsal_summary.json 2>/dev/null || true
