@@ -14,6 +14,11 @@ Artifact layout (``.irpx`` — a plain zip):
 
     program.shlo   jax.export serialization of
                    ``forward(params, batch_stats, images_u8) -> probs``
+    program.bN.shlo  (optional) the same forward at padded batch shape
+                   N — written when the exported predictor carries a
+                   ``pad_buckets`` ladder, so the artifact serves
+                   online traffic with TF-Serving allowed-batch-sizes
+                   behavior (one program per rung)
     explain.shlo   (optional) the Grad-CAM program
                    ``(params, batch_stats, images_u8, class_idx) ->
                    (cams, logits)`` (irp_tpu/explain.py), so exported
@@ -21,9 +26,10 @@ Artifact layout (``.irpx`` — a plain zip):
     weights.npz    the weight tree (train/checkpoint.py flat-npz format)
     meta.json      batch/source geometry, class names, format version
 
-The exported program has FIXED shapes (the XLA/TPU contract the rest of
-this framework already follows): batches of exactly ``batch_size``
-images at exactly ``source_size``² uint8 pixels.  The loader re-wraps
+The exported programs have FIXED shapes (the XLA/TPU contract the rest
+of this framework already follows): batches of exactly ``batch_size``
+(or a baked bucket rung) at exactly ``source_size``² uint8 pixels.
+The loader re-wraps
 it in :class:`irp_tpu.infer.Predictor`, whose padding loop already
 produces full fixed-shape batches; the exact-source-size requirement is
 enforced with a loud error (``Predictor.source_size``).
@@ -47,6 +53,7 @@ import numpy as np
 
 FORMAT_VERSION = 1
 _PROGRAM_MEMBER = "program.shlo"
+_BUCKET_MEMBER_FMT = "program.b{}.shlo"  # per-bucket padded shapes
 _EXPLAIN_MEMBER = "explain.shlo"  # optional: loaders ignore its absence
 _WEIGHTS_MEMBER = "weights.npz"
 _META_MEMBER = "meta.json"
@@ -105,13 +112,27 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
         raise ValueError(
             f"source_size {source_size} is smaller than the model's eval "
             f"crop {cfg.image_size}")
-    images_spec = jax.ShapeDtypeStruct(
-        (predictor.batch_size, source_size, source_size, 3), np.uint8)
     param_specs = _specs_like(predictor.params)
     stats_specs = _specs_like(predictor.batch_stats)
-    exported = jax_export.export(
-        predictor._forward, platforms=list(platforms))(
-            param_specs, stats_specs, images_spec)
+
+    def export_batch(n):
+        images_spec = jax.ShapeDtypeStruct(
+            (n, source_size, source_size, 3), np.uint8)
+        return jax_export.export(
+            predictor._forward, platforms=list(platforms))(
+                param_specs, stats_specs, images_spec)
+
+    # A bucketed predictor exports its WHOLE padded-shape ladder: one
+    # program per bucket, so the artifact serves online traffic with
+    # the same TF-Serving allowed-batch-sizes behavior as the live
+    # model (a lone request costs a batch-1 program).  program.shlo is
+    # always the full-batch program (format v1 loaders keep working).
+    exported = export_batch(predictor.batch_size)
+    bucket_programs = {}
+    if predictor.pad_buckets is not None:
+        for b in predictor.pad_buckets:
+            if b != predictor.batch_size:
+                bucket_programs[int(b)] = export_batch(int(b))
     exported_cam = None
     cam_batch = None
     if gradcam:
@@ -140,6 +161,8 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
                         if predictor.class_names is not None else None),
         "platforms": list(exported.platforms),
         "gradcam_batch_size": cam_batch,  # None = no explain program
+        "pad_buckets": (list(predictor.pad_buckets)
+                        if predictor.pad_buckets is not None else None),
         "jax_version": jax.__version__,
     }
     tmp = path + ".tmp"
@@ -156,6 +179,9 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
                 zf.writestr(_META_MEMBER, json.dumps(meta, indent=1))
                 zf.writestr(_PROGRAM_MEMBER, exported.serialize())
+                for b, prog in bucket_programs.items():
+                    zf.writestr(_BUCKET_MEMBER_FMT.format(b),
+                                prog.serialize())
                 if exported_cam is not None:
                     zf.writestr(_EXPLAIN_MEMBER, exported_cam.serialize())
                 zf.write(weights, _WEIGHTS_MEMBER)
@@ -204,9 +230,16 @@ def load_exported_predictor(path: str,
         raise ValueError(
             f"{path}: format_version {meta['format_version']} is newer "
             f"than this loader ({FORMAT_VERSION})")
+    buckets = meta.get("pad_buckets")
     try:
         with zipfile.ZipFile(path) as zf:
             program = zf.read(_PROGRAM_MEMBER)
+            bucket_blobs = {}
+            if buckets:
+                for b in buckets:
+                    if int(b) != int(meta["batch_size"]):
+                        bucket_blobs[int(b)] = zf.read(
+                            _BUCKET_MEMBER_FMT.format(int(b)))
             explain = (zf.read(_EXPLAIN_MEMBER)
                        if _EXPLAIN_MEMBER in zf.namelist() else None)
             with tempfile.TemporaryDirectory() as td:
@@ -216,6 +249,17 @@ def load_exported_predictor(path: str,
         raise ValueError(f"{path}: not a readable irpx artifact "
                          f"({e})") from e
     exported = jax_export.deserialize(program)
+    forward = jax.jit(exported.call)
+    if bucket_blobs:
+        # one deserialized program per padded shape; Predictor's
+        # padding loop guarantees the batch dim is always a ladder rung
+        # or the full batch, so the dict lookup cannot miss
+        calls = {b: jax.jit(jax_export.deserialize(blob).call)
+                 for b, blob in bucket_blobs.items()}
+        calls[int(meta["batch_size"])] = forward
+
+        def forward(p, s, images):  # noqa: F811 — the dispatching form
+            return calls[int(images.shape[0])](p, s, images)
     # cfg gives the Predictor its geometry/class metadata; the program
     # itself never consults it (jit of exported.call re-dispatches the
     # serialized computation as-is)
@@ -228,7 +272,8 @@ def load_exported_predictor(path: str,
         params=params, batch_stats=batch_stats, class_names=names,
         batch_size=int(meta["batch_size"]),
         source_size=int(meta["source_size"]),
-        _forward=jax.jit(exported.call),
+        pad_buckets=tuple(int(b) for b in buckets) if buckets else None,
+        _forward=forward,
         _cam_call=jax.jit(jax_export.deserialize(explain).call)
         if has_cam else None,
         _cam_batch_size=int(cam_batch) if has_cam else None)

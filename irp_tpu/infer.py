@@ -177,12 +177,10 @@ class Predictor:
                     "a prebuilt-forward predictor cannot take a mesh: the "
                     "exported program's device assignment is fixed; load "
                     "the .npz/.pth weights with mesh= instead")
-            if self.pad_buckets is not None and self.pad_buckets != (
-                    self.batch_size,):
-                raise ValueError(
-                    "an exported program has ONE baked batch shape; "
-                    "pad_buckets cannot apply (re-export per shape "
-                    "instead)")
+            # pad_buckets on a prebuilt predictor are the artifact's own
+            # baked ladder (irp_tpu/export.py writes one program per
+            # bucket and the loader only sets rungs it can serve) — the
+            # generic ladder validation above already ran
             return
 
         cfg = self.model.config
@@ -557,8 +555,10 @@ def load_predictor(weights_path: str,
                 "the .npz/.pth weights with mesh= instead")
         if pad_buckets is not None:
             raise ValueError(
-                ".irpx artifacts bake ONE batch shape; pad_buckets needs "
-                "the live weights (.npz/.pth)")
+                "an .irpx serves only the pad_buckets ladder baked at "
+                "export time (export a predictor built with "
+                "pad_buckets=...); load-time buckets need the live "
+                "weights (.npz/.pth)")
         return load_exported_predictor(weights_path,
                                        class_names=class_names)
     if ext == ".npz":

@@ -55,6 +55,15 @@ def main(argv=None):
                    help="input geometry the exported program accepts "
                         "(default: the 256px cache contract, or the eval "
                         "crop if larger)")
+    p.add_argument("--export-batch-buckets", default=None,
+                   metavar="SPEC",
+                   help="bake a padded-shape ladder into the artifact "
+                        "('auto' = 1,2,4,...,batch-size, or a comma "
+                        "list ending at batch-size): one program per "
+                        "bucket, so run_serve.py serves the .irpx with "
+                        "live-weights online efficiency (a lone request "
+                        "costs a batch-1 program).  Size --batch-size "
+                        "for online traffic when using this")
     p.add_argument("--export-no-gradcam", action="store_true",
                    help="omit the Grad-CAM explain program from the "
                         "artifact (smaller file; /explain and --gradcam "
@@ -117,9 +126,29 @@ def main(argv=None):
         from irp_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(MeshConfig())
 
+    export_buckets = None
+    if args.export_batch_buckets:
+        if not args.export:
+            print("error: --export-batch-buckets needs --export",
+                  file=sys.stderr)
+            return 2
+        if args.weights.lower().endswith(".irpx"):
+            print("error: re-exporting an .irpx is not supported; "
+                  "export the bucket ladder from the .npz/.pth weights",
+                  file=sys.stderr)
+            return 2
+        from irp_tpu.infer import serving_buckets
+        try:
+            export_buckets = serving_buckets(args.export_batch_buckets,
+                                             args.batch_size)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
-                               image_size=args.image_size)
+                               image_size=args.image_size,
+                               pad_buckets=export_buckets)
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if args.batch_size != predictor.batch_size:
             print(f"note: the artifact fixes batch_size="

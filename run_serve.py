@@ -127,8 +127,11 @@ def main(argv=None):
     pad_buckets = None
     if args.batch_buckets:
         if args.weights.lower().endswith(".irpx"):
-            print("error: --batch-buckets needs the live weights; an "
-                  ".irpx bakes one batch shape", file=sys.stderr)
+            print("error: an .irpx serves only the bucket ladder baked "
+                  "at export (run_predict.py --export "
+                  "--export-batch-buckets ...); a bucketed artifact's "
+                  "ladder is used automatically without this flag",
+                  file=sys.stderr)
             return 2
         from irp_tpu.infer import serving_buckets
         try:
@@ -204,10 +207,14 @@ def main(argv=None):
                          verbose=args.verbose, loader=loader,
                          weights_path=args.weights)
     cache = 256  # decode contract, data/pipeline.py::decode_to_rgb256
-    shapes = pad_buckets or (1,)  # no buckets: 1 image pads to batch_size
+    # predictor.pad_buckets covers both --batch-buckets on live weights
+    # and a ladder baked into an .irpx; no buckets: 1 image pads to the
+    # full batch, compiling the single served program
+    buckets = predictor.pad_buckets
+    shapes = buckets or (1,)
     print(f"compiling {predictor.model.config.depth}-layer forward "
           f"(crop {predictor.model.config.image_size}, "
-          f"{'buckets ' + str(list(shapes)) if pad_buckets else 'batch ' + str(predictor.batch_size)}"
+          f"{'buckets ' + str(list(buckets)) if buckets else 'batch ' + str(predictor.batch_size)}"
           f"{f', {n_replicas} replicas' if n_replicas else ''}) ...",
           flush=True)
     for pred in server.batcher.predictors:

@@ -94,6 +94,39 @@ def test_load_predictor_dispatches_irpx(tiny_predictor, images48, tmp_path):
         load_predictor(path, mesh=make_mesh(MeshConfig()))
 
 
+def test_export_bakes_bucket_ladder(tiny_predictor, images48, tmp_path):
+    """A bucketed predictor exports its whole padded-shape ladder: one
+    program per rung in the zip, the loader rebuilds the bucket
+    dispatch, and every rung scores bit-identically to the live
+    bucketed model — online-efficient serving with no model code."""
+    from irp_tpu.export import export_predictor, load_exported_predictor
+    from irp_tpu.infer import load_predictor, make_predictor
+
+    bucketed = make_predictor(
+        {"params": tiny_predictor.params,
+         "batch_stats": tiny_predictor.batch_stats},
+        cfg=TINY, batch_size=4, class_names=["a", "b", "c"],
+        pad_buckets=(1, 2, 4))
+    path = export_predictor(bucketed, str(tmp_path / "b.irpx"),
+                            source_size=48, gradcam=False)
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert {"program.shlo", "program.b1.shlo", "program.b2.shlo"} <= names
+    assert "program.b4.shlo" not in names  # full batch IS program.shlo
+
+    loaded = load_predictor(path)  # the CLI loading path
+    assert loaded.pad_buckets == (1, 2, 4)
+    for n in (1, 2, 3, 4, 5):  # every rung + a multi-chunk size
+        np.testing.assert_array_equal(
+            loaded.predict_probs(images48[:n]),
+            bucketed.predict_probs(images48[:n]))
+    assert [loaded._pad_target(n) for n in (1, 2, 3)] == [1, 2, 4]
+    # load-time buckets are still rejected: the ladder is an export-time
+    # decision (there is one program per baked rung, no more)
+    with pytest.raises(ValueError, match="baked at export"):
+        load_predictor(path, pad_buckets=(1, 4))
+
+
 def test_exported_source_size_enforced(tiny_predictor, tmp_path):
     from irp_tpu.export import export_predictor, load_exported_predictor
 
