@@ -91,6 +91,39 @@ def bench_feature_extraction(n_imgs, batch_size, depth, image_size, reps):
              n_imgs=n_imgs, batch_size=batch_size, depth=depth,
              image_size=image_size, secs=round(best, 2),
              feat_dim=int(feats.shape[1]))
+
+    # Device-resident compute rate: both modes above include the
+    # host->device corpus transfer in every rep, which through the axon
+    # tunnel (~5 MB/s observed) dwarfs the chip work by 10-100x.  Time
+    # the compiled scan alone — dataset pre-uploaded, completion forced
+    # by a scalar readback that data-depends on every step (bench.py's
+    # tunnel-safe methodology) — to report what extraction costs once
+    # pixels are resident (the sweep/curation steady state: the cache is
+    # uploaded once and reused).
+    import jax.numpy as jnp
+
+    from irp_tpu.data.outliers import _feature_epoch_program
+    from irp_tpu.data.pipeline import HBMEvalSet
+
+    ev = HBMEvalSet(cached, mesh, batch_size)
+    program = _feature_epoch_program(cfg, ev.per_device, image_size)
+    offsets = jnp.asarray(ev.offsets)
+    def run_once():
+        out = program(variables, ev.images, offsets)
+        # slice on-device, read back ONE scalar (a whole-array readback
+        # would re-measure the tunnel download, not the chip)
+        return float(out[-1].ravel()[-1])
+
+    run_once()  # warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        best = min(best, time.perf_counter() - t0)
+    emit("feature_extraction", mode="hbm_resident_compute",
+         imgs_per_sec=round(n_imgs / best, 1), n_imgs=n_imgs,
+         batch_size=batch_size, depth=depth, image_size=image_size,
+         secs=round(best, 2), feat_dim=int(feats.shape[1]))
     return feats
 
 
