@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Eval-output fidelity harness: Flax forward vs the reference's PyTorch
+execution of the SAME weights on the SAME images.
+
+The BASELINE.md bar: eval outputs matching the reference within 1e-3.
+This tool decodes samples from given shards through the exact reference
+eval path (PIL Resize(256,256) at cache build + CenterCrop(224) +
+ImageNet normalize), runs them through (a) the Flax classifier in
+float32/HIGHEST precision and (b) a torchvision-compatible PyTorch
+executor (irp_tpu.models.torch_ref) loaded with identical weights, and
+reports max |logit difference| and top-1 agreement.
+
+  python run_fidelity.py --shards './data/webdataset/test-*.tar' \
+      [--checkpoint final_model.pth] [--samples 64] [--depth 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--shards", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth state_dict (ours or the reference's); "
+                        "random init if omitted")
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--tolerance", type=float, default=1e-3)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    from irp_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from irp_tpu.config import ModelConfig
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.pipeline import build_cache
+    from irp_tpu.models import (flax_variables_to_torch_state_dict,
+                                init_classifier, load_torch_checkpoint,
+                                merge_pretrained)
+    from irp_tpu.models.torch_ref import TorchAnimalClassifier
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    shards = sorted(glob.glob(args.shards))
+    if not shards:
+        print(f"no shards match {args.shards}", file=sys.stderr)
+        return 1
+    info = analyze_webdataset(shards)
+    cached = build_cache(shards, info.class_names)
+    n = min(args.samples, len(cached))
+    images = np.asarray(cached.images[:n])
+
+    # torch-parity entry point: pin BN to reference .train()/.eval()
+    # semantics explicitly rather than inheriting the perf-oriented
+    # 'trainable_only' default.
+    cfg = ModelConfig(depth=args.depth, num_classes=args.num_classes,
+                      dropout_rate=0.0, compute_dtype="float32",
+                      precision="highest", bn_stats_mode="all")
+    model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 224)
+    if args.checkpoint:
+        variables = merge_pretrained(
+            variables, load_torch_checkpoint(args.checkpoint))
+
+    # Flax eval forward (reference eval path)
+    x = eval_preprocess_batch(jnp.asarray(images), dtype=jnp.float32)
+    ours = np.asarray(model.apply(variables, x, train=False))
+
+    # Torch execution of the same weights on the same preprocessed pixels
+    sd = flax_variables_to_torch_state_dict(variables, depth=args.depth)
+    tmodel = TorchAnimalClassifier(depth=args.depth,
+                                   num_classes=args.num_classes)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected and all("num_batches_tracked" in k
+                                  for k in missing)
+    tmodel.eval()
+    with torch.no_grad():
+        theirs = tmodel(torch.tensor(np.asarray(x)).permute(0, 3, 1, 2))
+        theirs = theirs.numpy()
+
+    diff = np.abs(ours - theirs).max()
+    agree = float((ours.argmax(1) == theirs.argmax(1)).mean())
+    status = "PASS" if diff < args.tolerance else "FAIL"
+    print(f"samples: {n}  max |logit diff|: {diff:.2e}  "
+          f"top-1 agreement: {100 * agree:.1f}%  "
+          f"tolerance: {args.tolerance:g}  -> {status}")
+    return 0 if diff < args.tolerance else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

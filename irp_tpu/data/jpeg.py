@@ -19,9 +19,13 @@ _LIB_TRIED = False
 
 
 def _lib_path() -> str:
-    here = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    return os.path.join(here, "native", "libirpdecode.so")
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Installed package: setup.py compiles into irp_tpu/_native/.
+    installed = os.path.join(pkg, "_native", "libirpdecode.so")
+    if os.path.exists(installed):
+        return installed
+    # Dev checkout: built by `make -C native` at the repo root.
+    return os.path.join(os.path.dirname(pkg), "native", "libirpdecode.so")
 
 
 def _load():
