@@ -628,6 +628,13 @@ class InferenceServer(ThreadingHTTPServer):
     """
 
     daemon_threads = True
+    # socketserver's default listen backlog is 5; handler threads hold
+    # the GIL for seconds per micro-batch on a slow backend, starving the
+    # accept loop — bursts of fresh connections (clients without
+    # keep-alive open one per request) then overflow the backlog and
+    # surface as ECONNRESET at the client (observed at 0.25% under a
+    # 16-way loadgen against the tunnel, artifacts/chip/bench_serve.log)
+    request_queue_size = 128
 
     def __init__(self, address, batcher: MicroBatcher,
                  class_names=None, decoder: str = "auto",
