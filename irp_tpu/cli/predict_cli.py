@@ -213,16 +213,42 @@ def main(argv=None):
             # ONE pass: explain() already computes the logits, and using
             # them for the CSV guarantees the overlay explains exactly
             # the reported class (a second predict() forward could
-            # argmax differently on near-ties)
-            from irp_tpu.infer import PredictionResult, softmax_np
-            from irp_tpu.explain import GradCAM
+            # argmax differently on near-ties).  Chunked like
+            # predict_paths — host memory stays O(chunk), overlays
+            # stream out as each chunk finishes.
+            from PIL import Image
 
-            decoded = predictor.decode_paths(paths, decoder=args.decoder)
-            cams, logits = GradCAM(predictor).explain(decoded)
-            probs = softmax_np(logits)
+            from irp_tpu.explain import (GradCAM, center_crop_u8,
+                                         overlay_cam)
+            from irp_tpu.infer import PredictionResult, softmax_np
+
+            os.makedirs(args.gradcam, exist_ok=True)
+            gradcam = GradCAM(predictor)
+            crop = predictor.model.config.image_size
+            chunk = max(predictor.batch_size, 1024)
+            probs_parts = []
+            for start in range(0, len(paths), chunk):
+                part = paths[start:start + chunk]
+                decoded = predictor.decode_paths(part, decoder=args.decoder)
+                cams, logits = gradcam.explain(decoded)
+                probs_parts.append(softmax_np(logits))
+                cropped = center_crop_u8(decoded, crop)
+                for j, key in enumerate(part):
+                    # index prefix: distinct source dirs may share
+                    # basenames
+                    name = os.path.splitext(os.path.basename(key))[0]
+                    Image.fromarray(
+                        overlay_cam(cropped[j], cams[j])).save(
+                        os.path.join(args.gradcam,
+                                     f"{start + j:04d}_{name}_gradcam.png"))
+            probs = np.concatenate(probs_parts, axis=0)
+            # predictor.class_names, not the CLI arg: the artifact's
+            # embedded names must survive when --classes is absent
             result = PredictionResult(
                 labels=np.argmax(probs, axis=1).astype(np.int32),
-                probs=probs, class_names=class_names, keys=paths)
+                probs=probs, class_names=predictor.class_names, keys=paths)
+            print(f"wrote {len(result)} Grad-CAM overlays to "
+                  f"{args.gradcam}")
         else:
             result = predictor.predict_paths(paths, decoder=args.decoder)
     else:
@@ -232,21 +258,6 @@ def main(argv=None):
             print(f"error: no samples in {args.shards}", file=sys.stderr)
             return 2
     elapsed = time.perf_counter() - t0
-
-    if args.gradcam:
-        from PIL import Image
-
-        from irp_tpu.explain import center_crop_u8, overlay_cam
-
-        os.makedirs(args.gradcam, exist_ok=True)
-        cropped = center_crop_u8(decoded,
-                                 predictor.model.config.image_size)
-        for i, key in enumerate(result.keys):
-            # index prefix: distinct source dirs may share basenames
-            name = os.path.splitext(os.path.basename(key))[0]
-            Image.fromarray(overlay_cam(cropped[i], cams[i])).save(
-                os.path.join(args.gradcam, f"{i:04d}_{name}_gradcam.png"))
-        print(f"wrote {len(result)} Grad-CAM overlays to {args.gradcam}")
 
     k = min(max(1, args.topk), predictor.num_classes)
     top_idx, top_prob = result.topk(k)

@@ -353,6 +353,7 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
                                meta={"image_size": 32})
     art = str(tmp_path / "model.irpx")
     rc = run_predict.main(["--weights", weights, "--export", art,
+                           "--classes", "cat,dog,fox",
                            "--cpu", "--batch-size", "2"])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -374,13 +375,22 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
         lines = f.read().strip().splitlines()
     assert len(lines) == 4  # header + 3 rows
 
-    # --gradcam works straight off the artifact (baked explain program)
+    # --gradcam works straight off the artifact (baked explain program),
+    # and with no --classes the CSV names must come from the artifact's
+    # embedded class_names, not fall back to str indices (regression:
+    # the gradcam branch once used the absent CLI arg)
+    import csv as csvmod
     import glob as globmod
     cam_dir = str(tmp_path / "cams")
+    cam_csv = str(tmp_path / "cam_preds.csv")
     rc = run_predict.main(["--weights", art, "--images", str(img_dir),
-                           "--gradcam", cam_dir, "--cpu"])
+                           "--gradcam", cam_dir, "--out", cam_csv,
+                           "--cpu"])
     assert rc == 0
     assert len(globmod.glob(cam_dir + "/*_gradcam.png")) == 3
+    with open(cam_csv) as f:
+        for row in csvmod.DictReader(f):
+            assert row["label_name"] in {"cat", "dog", "fox"}
     capsys.readouterr()
 
     # one exported WITHOUT it refuses --gradcam cleanly (exit 2, no
