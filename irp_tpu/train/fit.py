@@ -50,6 +50,58 @@ def _memo_step(kind, factory, key):
     return _STEP_MEMO[full_key]
 
 
+def _device_hbm_budget(mesh) -> Optional[int]:
+    """Per-device memory capacity in bytes, or None when the platform
+    doesn't report one (CPU meshes usually don't)."""
+    try:
+        dev = mesh.devices.flat[0]
+        stats = dev.memory_stats()
+    except Exception:  # noqa: BLE001 — memory_stats is best-effort
+        return None
+    if not stats:
+        return None
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    return int(limit) if limit else None
+
+
+def resolve_fit_mode(train_cached, val_cached, train_cfg, mesh,
+                     hbm_train=None, headroom: float = 0.6,
+                     budget_bytes: Optional[int] = None) -> str:
+    """Pick 'hbm' vs 'stream' for ``fit(mode='auto')``.
+
+    'hbm' when the uint8 train set (sharded over the mesh's data axis)
+    plus the capped eval set fit within ``headroom`` of a device's
+    reported memory; 'stream' otherwise.  Platforms that don't report
+    memory (CPU) get 'hbm' — the status-quo fast path — since the host
+    allocator will page rather than hard-OOM.  ``budget_bytes``
+    overrides the device-reported capacity (tests / explicit caps).
+    The remaining (1 - headroom) covers params, optimizer state,
+    activations, and the augmented-batch working set.
+    """
+    if hbm_train is not None:
+        return "hbm"  # already device-resident: nothing left to decide
+    budget = budget_bytes if budget_bytes is not None \
+        else _device_hbm_budget(mesh)
+    if budget is None:
+        return "hbm"
+    n_data = dict(mesh.shape).get("data", 1)
+    if train_cached.images is None or len(train_cached) == 0:
+        return "hbm"
+    px = train_cached.images.shape[1]
+    per_img = px * px * 3  # uint8
+    need = -(-len(train_cached) // n_data) * per_img
+    if val_cached is not None and len(val_cached) > 0:
+        n_eval = len(val_cached)
+        if train_cfg.eval_samples is not None:
+            n_eval = min(n_eval, train_cfg.eval_samples)
+        # HBMEvalSet wrap-pads to a whole batch per device
+        per_dev_eval = -(-n_eval // n_data)
+        bs = max(train_cfg.batch_size // n_data, 1)
+        per_dev_eval = -(-per_dev_eval // bs) * bs
+        need += per_dev_eval * per_img
+    return "hbm" if need <= headroom * budget else "stream"
+
+
 @dataclass
 class FitResult:
     state: object
@@ -67,7 +119,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
         restore_from: Optional[str] = None,
         start_epoch: int = 0, hbm_train=None) -> FitResult:
     """End-to-end fine-tune.  mode='hbm' keeps the dataset in device memory
-    (the fast path); 'stream' feeds uint8 batches from host.
+    (the fast path); 'stream' feeds uint8 batches from host; 'auto'
+    picks 'hbm' when the train + eval uint8 sets fit per device with
+    headroom (resolve_fit_mode) and falls back to 'stream' for
+    bigger-than-HBM corpora.
 
     ``hbm_train``: an already-device-resident train set (an HBMFoldPool
     view) — skips the per-fit HBMDataset upload entirely (sweep path:
@@ -89,9 +144,14 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     point — a resumed run can return a later best epoch or stop at a
     different epoch than the uninterrupted one.
     Net-new over the reference (no mid-run resume, SURVEY §5)."""
-    if hbm_train is not None and mode != "hbm":
+    if hbm_train is not None and mode not in ("hbm", "auto"):
         raise ValueError("hbm_train requires mode='hbm'")
     mesh = mesh or make_mesh()
+    if mode == "auto":
+        mode = resolve_fit_mode(train_cached, val_cached, train_cfg, mesh,
+                                hbm_train=hbm_train)
+        if verbose:
+            print(f"fit: mode=auto resolved to '{mode}'")
     if hbm_train is not None and hbm_train.mesh is not mesh \
             and hbm_train.mesh != mesh:
         raise ValueError("hbm_train was built on a different mesh")

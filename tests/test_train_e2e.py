@@ -113,6 +113,59 @@ def test_fit_e2e_hbm_8dev(cached):
     assert result.best_val_acc > 40.0
 
 
+def test_resolve_fit_mode(cached):
+    """mode='auto' arithmetic: hbm iff train+eval uint8 fits per device
+    within headroom; unknown budget and pre-resident pools stay hbm."""
+    from irp_tpu.train.fit import resolve_fit_mode
+
+    info, data = cached  # 160 imgs @ 64px = 160*64*64*3 bytes
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=0.0, batch_size=16,
+                       max_epochs=1, patience=1, aug_intensity="low",
+                       eval_samples=64, seed=0)
+    per_img = SIZE * SIZE * 3
+    # per device: ceil(160/8)=20 train imgs + eval 64/8=8 wrap-padded to
+    # the per-device batch (16/8=2) -> 8
+    need = (20 + 8) * per_img
+    assert resolve_fit_mode(data, data, tcfg, mesh,
+                            budget_bytes=int(need / 0.6) + per_img) == "hbm"
+    assert resolve_fit_mode(data, data, tcfg, mesh,
+                            budget_bytes=int(need / 0.6) - per_img) \
+        == "stream"
+    # no eval set: only the train residency counts
+    assert resolve_fit_mode(data, None, tcfg, mesh,
+                            budget_bytes=int(20 * per_img / 0.6) + 1) \
+        == "hbm"
+    # unreported budget (CPU): status-quo fast path
+    assert resolve_fit_mode(data, data, tcfg, mesh) in ("hbm", "stream")
+    assert resolve_fit_mode(data, data, tcfg, mesh,
+                            budget_bytes=None) in ("hbm", "stream")
+    # an already-resident pool never re-decides
+    assert resolve_fit_mode(data, data, tcfg, mesh, hbm_train=object(),
+                            budget_bytes=1) == "hbm"
+
+
+@pytest.mark.slow
+def test_fit_auto_falls_back_to_stream(cached, monkeypatch, capsys):
+    """fit(mode='auto') with a tiny reported budget trains via stream."""
+    import importlib
+
+    # `import irp_tpu.train.fit` would resolve to the re-exported
+    # function (the package binds the name to it); fetch the module
+    fit_mod = importlib.import_module("irp_tpu.train.fit")
+
+    info, data = cached
+    monkeypatch.setattr(fit_mod, "_device_hbm_budget", lambda mesh: 1024)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    tcfg = TrainConfig(learning_rate=3e-3, weight_decay=0.0, batch_size=16,
+                       max_epochs=1, patience=2, aug_intensity="medium",
+                       train_samples_per_epoch=64, eval_samples=64, seed=0)
+    result = fit(data, data, info, MODEL_CFG, tcfg, mesh=mesh, mode="auto",
+                 verbose=True)
+    assert "resolved to 'stream'" in capsys.readouterr().out
+    assert np.isfinite(result.history["train_loss"][0])
+
+
 @pytest.mark.slow
 def test_fit_e2e_stream_with_tp(cached):
     """Streaming mode on a data=4 x model=2 mesh (DP + head TP)."""
