@@ -42,6 +42,11 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
+    p.add_argument("--fit-mode", choices=("hbm", "stream", "auto"),
+                   default="hbm",
+                   help="dataset residency: 'hbm' device-resident (fast "
+                        "path), 'stream' host batches (bigger-than-HBM "
+                        "corpora), 'auto' picks by device memory")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -92,7 +97,7 @@ def main(argv=None):
         print("--resume requires --checkpoint-dir", file=sys.stderr)
         return 2
     result = train_final_model(study, train_cached, test_cached, info,
-                               model_base=model_base,
+                               model_base=model_base, mode=args.fit_mode,
                                checkpoint_dir=args.checkpoint_dir,
                                experiment=args.experiment,
                                resume=args.resume)

@@ -125,8 +125,11 @@ def test_run_hyperopt_then_final_cli(tmp_path):
     assert rc == 0
     assert os.path.exists(storage)
 
+    # --fit-mode auto: CPU reports no memory budget, so this resolves to
+    # the hbm fast path — exercising the auto plumbing end-to-end
     rc = run_final.main(common + ["--checkpoint-dir",
-                                  str(tmp_path / "ckpt")])
+                                  str(tmp_path / "ckpt"),
+                                  "--fit-mode", "auto"])
     assert rc == 0
 
 
