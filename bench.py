@@ -37,6 +37,13 @@ BASELINE_IMGS_PER_SEC = 5000.0
 _T0 = time.monotonic()
 _BUDGET = float(os.environ.get("BENCH_BUDGET_SECS", "3300"))
 _PHASE = "startup"
+# BENCH_FAMILY=vit benches the ViT family (BENCH_VIT_VARIANT, default
+# b_16) through the same harness; the driver contract (no env) stays the
+# flagship ResNet50.
+_FAMILY = os.environ.get("BENCH_FAMILY", "resnet")
+_VARIANT = os.environ.get("BENCH_VIT_VARIANT", "b_16")
+_METRIC = ("resnet50_preproc_train_throughput" if _FAMILY == "resnet"
+           else f"vit_{_VARIANT}_preproc_train_throughput")
 
 
 def _hb(msg):
@@ -53,7 +60,7 @@ def _remaining():
 def _fail(err):
     """Terminal failure -> structured, parseable stdout line, rc=0."""
     print(json.dumps({
-        "metric": "resnet50_preproc_train_throughput",
+        "metric": _METRIC,
         "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
         "error": str(err)[-2000:], "phase": _PHASE,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
@@ -146,9 +153,18 @@ def main():
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
     n_classes = 10
-    model_cfg = ModelConfig(depth=50, num_classes=n_classes, image_size=224,
-                            compute_dtype="bfloat16", bn_stats_mode=bn_mode,
-                            remat_trainable_blocks=remat)
+    if _FAMILY == "vit":
+        from irp_tpu.models.vit import vit_model_config
+
+        model_cfg = vit_model_config(_VARIANT, num_classes=n_classes,
+                                     image_size=224,
+                                     compute_dtype="bfloat16",
+                                     remat_trainable_blocks=remat)
+    else:
+        model_cfg = ModelConfig(depth=50, num_classes=n_classes,
+                                image_size=224, compute_dtype="bfloat16",
+                                bn_stats_mode=bn_mode,
+                                remat_trainable_blocks=remat)
     train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
                             batch_size=batch_size)
 
@@ -253,7 +269,7 @@ def main():
     # images) — derived from the measured step time, not measured itself.
     epoch_imgs = 20944
     result = {
-        "metric": "resnet50_preproc_train_throughput",
+        "metric": _METRIC,
         "value": round(per_chip, 1),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),
@@ -267,6 +283,7 @@ def main():
         "backend": jax.default_backend(),
         "intensity": intensity,
         "final_loss": last_loss,
+        "family": _FAMILY,
         "bn_stats_mode": bn_mode,
         "remat_trainable_blocks": remat,
         "elapsed_secs": round(time.monotonic() - _T0, 1),

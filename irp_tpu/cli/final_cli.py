@@ -22,6 +22,9 @@ import glob
 import os
 import sys
 
+from irp_tpu.cli.model_args import (add_model_family_args,
+                                    build_model_base)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -38,7 +41,7 @@ def main(argv=None):
                         "moments + schedule position carry over)")
     p.add_argument("--pretrained", default=None,
                    help="torchvision resnet50 .pth to initialize from")
-    p.add_argument("--depth", type=int, default=50)
+    add_model_family_args(p)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
@@ -59,7 +62,6 @@ def main(argv=None):
     enable_persistent_cache()
 
     from irp_tpu import tracking
-    from irp_tpu.config import ModelConfig
     from irp_tpu.data.analyze import analyze_webdataset
     from irp_tpu.data.pipeline import build_cache
     from irp_tpu.hyperopt import create_study
@@ -90,9 +92,7 @@ def main(argv=None):
     test_cached = build_cache(test_shards, info.class_names,
                               cache_dir=args.cache_dir)
 
-    model_base = ModelConfig(depth=args.depth, num_classes=info.num_classes,
-                             image_size=args.image_size,
-                             pretrained_path=args.pretrained)
+    model_base = build_model_base(args, info.num_classes)
     if args.resume and not args.checkpoint_dir:
         print("--resume requires --checkpoint-dir", file=sys.stderr)
         return 2

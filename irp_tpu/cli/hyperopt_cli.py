@@ -18,6 +18,9 @@ import glob
 import os
 import sys
 
+from irp_tpu.cli.model_args import (add_model_family_args,
+                                    build_model_base)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -34,7 +37,7 @@ def main(argv=None):
     p.add_argument("--pretrained", default=None,
                    help="torchvision resnet50 .pth to initialize from")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--depth", type=int, default=50)
+    add_model_family_args(p)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
     p.add_argument("--quick", action="store_true",
@@ -59,7 +62,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     from irp_tpu import tracking
-    from irp_tpu.config import HyperoptConfig, ModelConfig
+    from irp_tpu.config import HyperoptConfig
     from irp_tpu.data.analyze import analyze_webdataset
     from irp_tpu.data.pipeline import build_cache
     from irp_tpu.hyperopt.objective import HyperoptContext
@@ -87,10 +90,7 @@ def main(argv=None):
         n_trials=args.n_trials, k_folds=args.k_folds,
         first_fold_min_acc=args.first_fold_min_acc,
         storage=args.storage, study_name=args.study_name, seed=args.seed)
-    model_base = ModelConfig(depth=args.depth,
-                             num_classes=info.num_classes,
-                             image_size=args.image_size,
-                             pretrained_path=args.pretrained)
+    model_base = build_model_base(args, info.num_classes)
 
     space_fn = None
     if args.quick:

@@ -1,0 +1,39 @@
+"""Shared --family/--depth/--vit-variant argparse wiring for the training
+CLIs (run_hyperopt.py, run_final.py).
+
+The reference hardcodes ResNet50 (reference functions/model.py:15); here
+the backbone family is a flag: ``--family resnet --depth 50`` (default,
+reference-parity) or ``--family vit --vit-variant b_16`` (torchvision
+vision_transformer sizes, models/vit.py VIT_VARIANTS).
+"""
+
+from __future__ import annotations
+
+
+def add_model_family_args(parser) -> None:
+    parser.add_argument("--family", choices=("resnet", "vit"),
+                        default="resnet",
+                        help="backbone family (default: resnet, the "
+                             "reference's; 'vit' is the torchvision-"
+                             "compatible Vision Transformer)")
+    parser.add_argument("--depth", type=int, default=50,
+                        help="ResNet depth 18/34/50/101/152 "
+                             "(--family resnet only)")
+    parser.add_argument("--vit-variant", default="b_16",
+                        help="torchvision ViT size: b_16/b_32/l_16/l_32/"
+                             "h_14 (--family vit only)")
+
+
+def build_model_base(args, num_classes: int):
+    """ModelConfig from parsed family args + dataset class count."""
+    from irp_tpu.config import ModelConfig
+
+    if args.family == "vit":
+        from irp_tpu.models.vit import vit_model_config
+
+        return vit_model_config(args.vit_variant, num_classes=num_classes,
+                                image_size=args.image_size,
+                                pretrained_path=args.pretrained)
+    return ModelConfig(depth=args.depth, num_classes=num_classes,
+                       image_size=args.image_size,
+                       pretrained_path=args.pretrained)

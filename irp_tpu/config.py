@@ -69,10 +69,25 @@ class ModelConfig:
     head (model.py:30-36).
     """
 
-    depth: int = 50  # 18/34/50/101/152
+    # Backbone family: 'resnet' (the reference's family, model.py:15) or
+    # 'vit' (torchvision-compatible Vision Transformer — beyond-reference
+    # breadth; pure-matmul forward, the most MXU-friendly family on TPU).
+    family: str = "resnet"
+    depth: int = 50  # resnet only: 18/34/50/101/152
     num_classes: int = 10
     image_size: int = 224  # model input resolution (crop target)
     hidden_dim: int = 512
+    # ViT family (torchvision vision_transformer parameterization; the
+    # defaults are vit_b_16; named variants in models/vit.py VIT_VARIANTS).
+    # num_heads=0 means embed_dim // 64 (head_dim 64 — true of vit_b/vit_l)
+    # so those architectures stay recoverable from weight trees alone
+    # (irp_tpu.infer.infer_model_config); vit_h_14 needs num_heads=16
+    # explicitly (head_dim 80 — heads leave no trace in parameter shapes).
+    patch_size: int = 16
+    embed_dim: int = 768
+    num_layers: int = 12
+    mlp_dim: int = 3072
+    num_heads: int = 0
     # ResNeXt / Wide-ResNet variants (torchvision's parameterization —
     # same state_dict layout, so .pth interchange keeps working):
     # resnext50_32x4d = groups=32, width_per_group=4;
@@ -81,7 +96,14 @@ class ModelConfig:
     groups: int = 1
     width_per_group: int = 64
     dropout_rate: float = 0.3
-    trainable_stages: tuple = ("layer4",)  # frozen backbone except these
+    # Frozen backbone except these stages.  ResNet stage names are
+    # 'layer1'..'layer4' (the default mirrors reference model.py:17-23);
+    # ViT stage names are 'block0'..'block{L-1}', 'ln' (the final encoder
+    # LayerNorm), and 'embed' (conv_proj + class_token + pos_embedding).
+    # For family='vit' the untouched ResNet default ('layer4',) is
+    # auto-mapped to the analogous last-block form
+    # ('block{L-1}', 'ln') — see vit_default_trainable_stages.
+    trainable_stages: tuple = ("layer4",)
     head_only: bool = False  # freeze everything but the head
     # Frozen-stage BatchNorm mode.  'trainable_only' (default) keeps frozen
     # stages' BN in inference form — running stats in the forward, no stat

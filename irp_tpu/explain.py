@@ -20,6 +20,14 @@ Grad-CAM math note: with a global-average-pool architecture the VJP
 w.r.t. A is spatially uniform per channel, so a_k A_k equals CAM at
 full Grad-CAM generality for THIS model family while staying exact
 (no gradient approximations).
+
+ViT family: the head reads the CLS token, so gradients w.r.t. the
+final patch tokens are identically zero — the useful surface is the
+token sequence ENTERING the last encoder block (the standard ViT
+Grad-CAM target).  The VJP differentiates (last block + final LN +
+head) w.r.t. those tokens; CLS drops, patch tokens reshape to the
+grid, and the same GAP-weight/ReLU/normalize math applies with the
+embedding dim as channels.
 """
 
 from __future__ import annotations
@@ -50,15 +58,26 @@ def _build_cam_fn(model, out_size: int):
         variables = {"params": params, "batch_stats": batch_stats}
         x = eval_preprocess_batch(images_u8, cfg.image_size, dtype,
                                   IMAGENET_MEAN, IMAGENET_STD)
-        spatial = model.apply(variables, x,
-                              method="spatial_features")  # (B,h,w,C)
-        spatial = spatial.astype(jnp.float32)
+        if cfg.family == "vit":
+            # differentiate (last block + final LN + head) w.r.t. the
+            # tokens entering the last block (see module docstring)
+            acts = model.apply(variables, x,
+                               method="vit_tokens")      # (B,S,E)
+            acts = acts.astype(jnp.float32)
 
-        def head_logits(sp):
-            return model.apply(variables, sp.mean(axis=(1, 2)),
-                               method="head")  # (B,K) f32
+            def to_logits(a):
+                return model.apply(variables, a,
+                                   method="vit_logits_from_tokens")
+        else:
+            acts = model.apply(variables, x,
+                               method="spatial_features")  # (B,h,w,C)
+            acts = acts.astype(jnp.float32)
 
-        logits, vjp = jax.vjp(head_logits, spatial)
+            def to_logits(a):
+                return model.apply(variables, a.mean(axis=(1, 2)),
+                                   method="head")  # (B,K) f32
+
+        logits, vjp = jax.vjp(to_logits, acts)
         target = jnp.where(class_idx < 0,
                            jnp.argmax(logits, axis=-1),
                            class_idx)
@@ -66,7 +85,15 @@ def _build_cam_fn(model, out_size: int):
                                 dtype=logits.dtype)
         # VJP of the selected per-sample logits: each row's cotangent
         # only touches its own sample, so one VJP gives all B gradients
-        (d_spatial,) = vjp(onehot)                       # (B,h,w,C)
+        (d_acts,) = vjp(onehot)
+        if cfg.family == "vit":
+            grid = cfg.image_size // cfg.patch_size
+            b = acts.shape[0]
+            # drop CLS; patch tokens are the (grid x grid) spatial map
+            spatial = acts[:, 1:].reshape(b, grid, grid, -1)
+            d_spatial = d_acts[:, 1:].reshape(b, grid, grid, -1)
+        else:
+            spatial, d_spatial = acts, d_acts            # (B,h,w,C)
         alpha = d_spatial.mean(axis=(1, 2), keepdims=True)  # GAP weights
         cam = jax.nn.relu((alpha * spatial).sum(axis=-1))   # (B,h,w)
         lo = cam.min(axis=(1, 2), keepdims=True)

@@ -63,8 +63,36 @@ def infer_model_config(params: dict, image_size: int = 224,
     architecture-bearing fields are recovered; training-only fields
     (dropout, freezing) keep defaults — they don't affect ``train=False``
     forwards except dropout, which is off.
+
+    ViT trees are recognized by their ``class_token``; patch size, embed
+    dim, layer count, and mlp width come from leaf shapes, the input
+    resolution from the pos_embedding length, and num_heads is
+    embed_dim // 64 (head_dim 64 — true of every torchvision ViT; heads
+    leave no trace in parameter shapes, see config.py).
     """
     backbone = params["backbone"]
+    if "class_token" in backbone:
+        embed = int(np.shape(backbone["class_token"])[-1])
+        patch = int(np.shape(backbone["conv_proj"]["kernel"])[0])
+        n_layers = sum(1 for k in backbone if k.startswith("block"))
+        mlp_dim = int(np.shape(
+            backbone["block0"]["mlp_dense1"]["kernel"])[1])
+        seq = int(np.shape(backbone["pos_embedding"])[1])
+        grid = int(round((seq - 1) ** 0.5))
+        if grid * grid != seq - 1:
+            raise ValueError(
+                f"pos_embedding length {seq} is not a square grid + CLS")
+        pos_size = grid * patch
+        if image_size != pos_size:
+            # the pos_embedding pins the geometry; trust the weights
+            image_size = pos_size
+        hidden_dim = int(np.shape(params["head_dense1"]["kernel"])[1])
+        num_classes = int(np.shape(params["head_dense2"]["kernel"])[1])
+        return ModelConfig(family="vit", patch_size=patch, embed_dim=embed,
+                           num_layers=n_layers, mlp_dim=mlp_dim,
+                           num_classes=num_classes, hidden_dim=hidden_dim,
+                           image_size=image_size,
+                           compute_dtype=compute_dtype)
     counts = [0, 0, 0, 0]
     bottleneck = False
     for key in backbone:

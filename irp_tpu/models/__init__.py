@@ -1,10 +1,12 @@
-"""Model family: Flax ResNet backbones + MLP-head classifier + converters."""
+"""Model families (ResNet + ViT) + MLP-head classifier + converters."""
 
 from irp_tpu.models.resnet import ResNet, STAGE_SIZES  # noqa: F401
+from irp_tpu.models.vit import VisionTransformer  # noqa: F401
 from irp_tpu.models.classifier import (  # noqa: F401
     Classifier,
     get_classifier,
     init_classifier,
+    resolve_trainable_stages,
     weighted_cross_entropy,
 )
 from irp_tpu.models.convert import (  # noqa: F401

@@ -19,17 +19,73 @@ from flax import linen as nn
 
 from irp_tpu.config import ModelConfig
 from irp_tpu.models.resnet import STAGE_NAMES, ResNet
+from irp_tpu.models.vit import VisionTransformer, vit_default_trainable_stages
+
+
+def resolve_trainable_stages(cfg: ModelConfig) -> tuple:
+    """The effective trainable-stage tuple for a config.
+
+    For family='vit' the untouched ResNet default ('layer4',) means "the
+    analogous last-block recipe" — block{L-1} + the final LayerNorm
+    (vit_default_trainable_stages); anything else is taken literally."""
+    if cfg.family == "vit" and tuple(cfg.trainable_stages) == ("layer4",):
+        return vit_default_trainable_stages(cfg.num_layers)
+    return tuple(cfg.trainable_stages)
+
+
+def _vit_frozen_prefix(cfg: ModelConfig, stages: tuple) -> int:
+    """Leading encoder blocks with no trainable stage at or before them.
+
+    'embed' trainable => prefix 0 (the embedding sits before block 0, so
+    the stop_gradient cut must not cover it)."""
+    if cfg.head_only:
+        return cfg.num_layers
+    if "embed" in stages:
+        return 0
+    blocks = []
+    for name in stages:
+        if name.startswith("block"):
+            idx = int(name[len("block"):])
+            if not 0 <= idx < cfg.num_layers:
+                raise ValueError(
+                    f"trainable stage {name!r} out of range for "
+                    f"num_layers={cfg.num_layers}")
+            blocks.append(idx)
+        elif name != "ln":
+            raise ValueError(
+                f"unknown ViT trainable stage {name!r} (expected "
+                f"'block<i>', 'ln', or 'embed')")
+    return min(blocks) if blocks else cfg.num_layers
 
 
 class Classifier(nn.Module):
-    """ResNet backbone + 2-layer MLP head."""
+    """Backbone (ResNet or ViT family) + 2-layer MLP head."""
 
     config: ModelConfig
 
     def setup(self):
         cfg = self.config
+        if cfg.family not in ("resnet", "vit"):
+            raise ValueError(f"unknown model family {cfg.family!r}")
         dtype = jnp.dtype(cfg.compute_dtype)
         precision = _resolve_precision(cfg.precision)
+        if cfg.family == "vit":
+            if cfg.fused_frozen_blocks == "on":
+                raise ValueError("fused_frozen_blocks='on' is a ResNet "
+                                 "bottleneck kernel; not available for "
+                                 "family='vit'")
+            stages = resolve_trainable_stages(cfg)
+            self.backbone = VisionTransformer(
+                patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
+                num_layers=cfg.num_layers,
+                # 0 = auto: head_dim 64 (config.py note; vit_h_14 sets 16)
+                num_heads=cfg.num_heads or cfg.embed_dim // 64,
+                mlp_dim=cfg.mlp_dim, image_size=cfg.image_size, dtype=dtype,
+                frozen_prefix=_vit_frozen_prefix(cfg, stages),
+                precision=precision,
+                remat_blocks=cfg.remat_trainable_blocks)
+            self._build_head(cfg, dtype, precision)
+            return
         if cfg.head_only:
             frozen_prefix = 4
         else:
@@ -71,6 +127,9 @@ class Classifier(nn.Module):
                                precision=precision,
                                fused_frozen_blocks=fused,
                                remat_blocks=cfg.remat_trainable_blocks)
+        self._build_head(cfg, dtype, precision)
+
+    def _build_head(self, cfg, dtype, precision):
         self.head_dense1 = nn.Dense(cfg.hidden_dim, dtype=dtype,
                                     param_dtype=jnp.float32,
                                     precision=precision)
@@ -112,8 +171,28 @@ class Classifier(nn.Module):
 
     def spatial_features(self, x):
         """Pre-pool backbone feature map (B, H', W', C) — the Grad-CAM
-        surface (irp_tpu.explain).  Eval-form BN, no dropout."""
+        surface (irp_tpu.explain).  Eval-form BN, no dropout.
+
+        ResNet family only as an explain surface: for ViT the head reads
+        the CLS token, not a pool of the patch grid, so Grad-CAM uses
+        ``vit_tokens``/``vit_logits_from_tokens`` instead (the map this
+        returns is still the post-LN patch grid, useful for feature viz).
+        """
         return self.backbone(x, train=False, return_spatial=True)
+
+    def vit_tokens(self, x):
+        """ViT Grad-CAM surface: the token sequence (B, S, E) entering
+        the LAST encoder block (no stop_gradient — explain differentiates
+        through it).  family='vit' only."""
+        return self.backbone.prefix_tokens(x)
+
+    def vit_logits_from_tokens(self, tokens):
+        """Last block + final LN + CLS + eval-form head: (B,S,E) -> (B,K)
+        f32 logits.  ``vit_logits_from_tokens(vit_tokens(x))`` equals the
+        full ``__call__(x, train=False)`` logits exactly — the explain
+        path relies on that equivalence (irp_tpu.explain)."""
+        feats = self.backbone.suffix_feature(tokens)
+        return self.head(feats)
 
     def head(self, feats):
         """Eval-form MLP head on pooled features (B, C) -> (B, classes).

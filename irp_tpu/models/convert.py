@@ -89,14 +89,103 @@ def _set_path(tree: Dict, path: Tuple[str, ...], value) -> None:
     node[path[-1]] = value
 
 
+def _is_vit_state_dict(state_dict) -> bool:
+    return any(_strip_prefix(k) == "class_token"
+               or _strip_prefix(k).startswith("encoder.")
+               for k in state_dict)
+
+
+def _np(value) -> np.ndarray:
+    v = getattr(value, "detach", lambda: value)()
+    return np.asarray(getattr(v, "numpy", lambda: v)(), dtype=np.float32)
+
+
+def _vit_state_dict_to_variables(state_dict) -> Dict[str, Dict]:
+    """torchvision vision_transformer state_dict -> flax variables.
+
+    Handles the layout differences from the Flax module (models/vit.py):
+    packed ``in_proj`` (3E, E) is sliced into the separate q/k/v Dense
+    kernels; conv/linear weights transpose as usual.  ``heads.*`` (the
+    torchvision classification head) is skipped — the irp_tpu head loads
+    from ``classifier.{1,4}`` keys like the ResNet family.
+    """
+    params: Dict = {}
+    backbone: Dict = {}
+    for key, value in state_dict.items():
+        key = _strip_prefix(key)
+        if key.startswith("heads."):
+            continue
+        arr = _np(value)
+        if key == "class_token":
+            backbone["class_token"] = arr
+        elif key == "conv_proj.weight":
+            _set_path(backbone, ("conv_proj", "kernel"),
+                      arr.transpose(2, 3, 1, 0))
+        elif key == "conv_proj.bias":
+            _set_path(backbone, ("conv_proj", "bias"), arr)
+        elif key == "encoder.pos_embedding":
+            backbone["pos_embedding"] = arr
+        elif key in ("encoder.ln.weight", "encoder.ln.bias"):
+            name = "scale" if key.endswith("weight") else "bias"
+            _set_path(backbone, ("ln", name), arr)
+        else:
+            m = re.match(
+                r"^encoder\.layers\.encoder_layer_(\d+)\.(.+)$", key)
+            if not m:
+                m2 = re.match(r"^classifier\.(\d)\.(weight|bias)$", key)
+                if m2:
+                    idx, field = m2.groups()
+                    dense = {"1": "head_dense1", "4": "head_dense2"}[idx]
+                    name = "kernel" if field == "weight" else "bias"
+                    _set_path(params, (dense, name),
+                              arr.T if field == "weight" else arr)
+                    continue
+                raise KeyError(f"unrecognized ViT torch key: {key}")
+            i, rest = m.groups()
+            block = f"block{i}"
+            if rest in ("ln_1.weight", "ln_1.bias",
+                        "ln_2.weight", "ln_2.bias"):
+                ln, field = rest.split(".")
+                name = "scale" if field == "weight" else "bias"
+                _set_path(backbone, (block, ln.replace("_", ""), name), arr)
+            elif rest == "self_attention.in_proj_weight":
+                e = arr.shape[1]
+                for j, proj in enumerate(("attn_q", "attn_k", "attn_v")):
+                    _set_path(backbone, (block, proj, "kernel"),
+                              arr[j * e:(j + 1) * e].T)
+            elif rest == "self_attention.in_proj_bias":
+                e = arr.shape[0] // 3
+                for j, proj in enumerate(("attn_q", "attn_k", "attn_v")):
+                    _set_path(backbone, (block, proj, "bias"),
+                              arr[j * e:(j + 1) * e])
+            elif rest == "self_attention.out_proj.weight":
+                _set_path(backbone, (block, "attn_out", "kernel"), arr.T)
+            elif rest == "self_attention.out_proj.bias":
+                _set_path(backbone, (block, "attn_out", "bias"), arr)
+            elif rest.startswith("mlp."):
+                _, idx, field = rest.split(".")
+                dense = {"0": "mlp_dense1", "3": "mlp_dense2"}[idx]
+                _set_path(backbone, (block, dense,
+                                     "kernel" if field == "weight"
+                                     else "bias"),
+                          arr.T if field == "weight" else arr)
+            else:
+                raise KeyError(f"unrecognized ViT torch key: {key}")
+    params["backbone"] = backbone
+    return {"params": params, "batch_stats": {}}
+
+
 def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
     """Convert a torch state_dict (tensors or ndarrays) to flax variables.
 
     Returns ``{"params": ..., "batch_stats": ...}`` as nested dicts of
     float32 numpy arrays.  Missing head keys are fine (backbone-only
     torchvision checkpoints); merge over a randomly-initialized tree with
-    ``merge_pretrained``.
+    ``merge_pretrained``.  ViT state_dicts (torchvision vit_*) are
+    auto-detected by their class_token/encoder keys.
     """
+    if _is_vit_state_dict(state_dict):
+        return _vit_state_dict_to_variables(state_dict)
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
         mapped = torch_key_to_flax(key)
@@ -161,9 +250,61 @@ def load_torch_checkpoint(path: str):
     return torch_state_dict_to_variables(obj)
 
 
+def _vit_variables_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse ViT conversion: separate q/k/v kernels re-pack into
+    torchvision's in_proj layout."""
+    params = variables["params"]
+    b = params["backbone"]
+    sd: Dict[str, np.ndarray] = {}
+    sd["backbone.class_token"] = np.asarray(b["class_token"], np.float32)
+    sd["backbone.conv_proj.weight"] = np.asarray(
+        b["conv_proj"]["kernel"], np.float32).transpose(3, 2, 0, 1)
+    sd["backbone.conv_proj.bias"] = np.asarray(
+        b["conv_proj"]["bias"], np.float32)
+    sd["backbone.encoder.pos_embedding"] = np.asarray(
+        b["pos_embedding"], np.float32)
+    blocks = sorted((k for k in b if k.startswith("block")),
+                    key=lambda k: int(k[len("block"):]))
+    for name in blocks:
+        node = b[name]
+        t = f"backbone.encoder.layers.encoder_layer_{name[len('block'):]}"
+        for ln_flax, ln_torch in (("ln1", "ln_1"), ("ln2", "ln_2")):
+            sd[f"{t}.{ln_torch}.weight"] = np.asarray(
+                node[ln_flax]["scale"], np.float32)
+            sd[f"{t}.{ln_torch}.bias"] = np.asarray(
+                node[ln_flax]["bias"], np.float32)
+        qkv_w = [np.asarray(node[p]["kernel"], np.float32).T
+                 for p in ("attn_q", "attn_k", "attn_v")]
+        qkv_b = [np.asarray(node[p]["bias"], np.float32)
+                 for p in ("attn_q", "attn_k", "attn_v")]
+        sd[f"{t}.self_attention.in_proj_weight"] = np.concatenate(qkv_w, 0)
+        sd[f"{t}.self_attention.in_proj_bias"] = np.concatenate(qkv_b, 0)
+        sd[f"{t}.self_attention.out_proj.weight"] = np.asarray(
+            node["attn_out"]["kernel"], np.float32).T
+        sd[f"{t}.self_attention.out_proj.bias"] = np.asarray(
+            node["attn_out"]["bias"], np.float32)
+        for flax_name, idx in (("mlp_dense1", "0"), ("mlp_dense2", "3")):
+            sd[f"{t}.mlp.{idx}.weight"] = np.asarray(
+                node[flax_name]["kernel"], np.float32).T
+            sd[f"{t}.mlp.{idx}.bias"] = np.asarray(
+                node[flax_name]["bias"], np.float32)
+    sd["backbone.encoder.ln.weight"] = np.asarray(b["ln"]["scale"],
+                                                  np.float32)
+    sd["backbone.encoder.ln.bias"] = np.asarray(b["ln"]["bias"], np.float32)
+    for idx, dense in (("1", "head_dense1"), ("4", "head_dense2")):
+        sd[f"classifier.{idx}.weight"] = np.asarray(
+            params[dense]["kernel"], np.float32).T
+        sd[f"classifier.{idx}.bias"] = np.asarray(
+            params[dense]["bias"], np.float32)
+    return sd
+
+
 def flax_variables_to_torch_state_dict(variables, depth: int = 50):
     """Inverse conversion (for exporting checkpoints the reference stack
-    could load; reverse of torch_state_dict_to_variables)."""
+    could load; reverse of torch_state_dict_to_variables).  ViT trees are
+    auto-detected by their class_token key; ``depth`` is ResNet-only."""
+    if "class_token" in variables["params"].get("backbone", {}):
+        return _vit_variables_to_torch_state_dict(variables)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: Dict[str, np.ndarray] = {}

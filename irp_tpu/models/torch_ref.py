@@ -1,12 +1,16 @@
-"""Hand-written PyTorch ResNet (torchvision-compatible naming) for fidelity
-tests.
+"""Hand-written PyTorch ResNet + ViT (torchvision-compatible naming) for
+fidelity tests.
 
-torchvision is not installed in this environment; this minimal module
-reproduces torchvision.models.resnet exactly (v1.5 stride placement, same
-state_dict keys) so exported irp_tpu checkpoints can be executed in torch
-and compared numerically against the Flax forward (the 1e-3 eval-fidelity
-bar, BASELINE.md).
+torchvision is not installed in this environment; these minimal modules
+reproduce torchvision.models.resnet (v1.5 stride placement) and
+torchvision.models.vision_transformer (pre-LN blocks, eps=1e-6, exact
+GELU, CLS pooling) exactly, with the same state_dict keys, so exported
+irp_tpu checkpoints can be executed in torch and compared numerically
+against the Flax forward (the 1e-3 eval-fidelity bar, BASELINE.md).
 """
+
+from collections import OrderedDict
+from functools import partial
 
 import torch
 import torch.nn as nn
@@ -118,6 +122,93 @@ class TorchAnimalClassifier(nn.Module):
         feat = 512 * block.expansion
         self.classifier = nn.Sequential(
             nn.Dropout(0.0), nn.Linear(feat, hidden), nn.ReLU(),
+            nn.Dropout(0.0), nn.Linear(hidden, num_classes))
+
+    def forward(self, x):
+        return self.classifier(self.backbone(x))
+
+
+class _ViTEncoderBlock(nn.Module):
+    """torchvision EncoderBlock: pre-LN attention + pre-LN MLP, with
+    torchvision's exact submodule names (ln_1 / self_attention / ln_2 /
+    mlp.{0,3}) so state_dicts interchange."""
+
+    def __init__(self, embed_dim, num_heads, mlp_dim):
+        super().__init__()
+        norm = partial(nn.LayerNorm, eps=1e-6)
+        self.ln_1 = norm(embed_dim)
+        self.self_attention = nn.MultiheadAttention(embed_dim, num_heads,
+                                                    batch_first=True)
+        self.ln_2 = norm(embed_dim)
+        # torchvision MLPBlock is a Sequential: 0=Linear 1=GELU 2=Dropout
+        # 3=Linear 4=Dropout -> keys mlp.0.* and mlp.3.*
+        self.mlp = nn.Sequential(
+            nn.Linear(embed_dim, mlp_dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(mlp_dim, embed_dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        y, _ = self.self_attention(self.ln_1(x), self.ln_1(x), self.ln_1(x),
+                                   need_weights=False)
+        x = x + y
+        return x + self.mlp(self.ln_2(x))
+
+
+class _ViTEncoder(nn.Module):
+    def __init__(self, seq_length, num_layers, embed_dim, num_heads,
+                 mlp_dim):
+        super().__init__()
+        self.pos_embedding = nn.Parameter(
+            torch.empty(1, seq_length, embed_dim).normal_(std=0.02))
+        self.layers = nn.Sequential(OrderedDict(
+            (f"encoder_layer_{i}",
+             _ViTEncoderBlock(embed_dim, num_heads, mlp_dim))
+            for i in range(num_layers)))
+        self.ln = nn.LayerNorm(embed_dim, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(x + self.pos_embedding))
+
+
+class TorchViT(nn.Module):
+    """Headless torchvision-layout VisionTransformer (CLS-token feature).
+
+    State_dict keys match torchvision.models.vit_b_16 et al. (class_token,
+    conv_proj.*, encoder.pos_embedding, encoder.layers.encoder_layer_i.*,
+    encoder.ln.*); the classification ``heads`` is omitted (the irp_tpu
+    Classifier supplies its own MLP head, as the reference does for
+    ResNet, reference model.py:27-36).
+    """
+
+    def __init__(self, patch_size=16, embed_dim=768, num_layers=12,
+                 num_heads=12, mlp_dim=3072, image_size=224):
+        super().__init__()
+        self.patch_size = patch_size
+        self.conv_proj = nn.Conv2d(3, embed_dim, patch_size, patch_size)
+        self.class_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+        seq_length = (image_size // patch_size) ** 2 + 1
+        self.encoder = _ViTEncoder(seq_length, num_layers, embed_dim,
+                                   num_heads, mlp_dim)
+
+    def forward(self, x):
+        n = x.shape[0]
+        x = self.conv_proj(x)                      # (n, E, gh, gw)
+        x = x.reshape(n, x.shape[1], -1).permute(0, 2, 1)  # (n, S-1, E)
+        cls = self.class_token.expand(n, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        return self.encoder(x)[:, 0]
+
+
+class TorchViTClassifier(nn.Module):
+    """ViT backbone + the reference's MLP head shape (model.py:30-36)."""
+
+    def __init__(self, num_classes=10, hidden=512, patch_size=16,
+                 embed_dim=768, num_layers=12, num_heads=12, mlp_dim=3072,
+                 image_size=224):
+        super().__init__()
+        self.backbone = TorchViT(patch_size, embed_dim, num_layers,
+                                 num_heads, mlp_dim, image_size)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.0), nn.Linear(embed_dim, hidden), nn.ReLU(),
             nn.Dropout(0.0), nn.Linear(hidden, num_classes))
 
     def forward(self, x):

@@ -55,9 +55,16 @@ def trainable_mask(params, model_cfg: ModelConfig):
     """Bool pytree: True where the reference would set requires_grad.
 
     Head always trainable; backbone stages per ``trainable_stages``
-    (reference model.py:17-23: freeze all, unfreeze layer4).
+    (reference model.py:17-23: freeze all, unfreeze layer4).  ViT stage
+    names: 'block<i>', 'ln', and 'embed' (conv_proj/class_token/
+    pos_embedding collectively — they sit before block 0).
     """
-    trainable_stages = () if model_cfg.head_only else model_cfg.trainable_stages
+    if model_cfg.head_only:
+        trainable_stages = ()
+    else:
+        from irp_tpu.models.classifier import resolve_trainable_stages
+        trainable_stages = resolve_trainable_stages(model_cfg)
+    _EMBED = {"conv_proj", "class_token", "pos_embedding"}
 
     def mask_for(path, leaf):
         keys = [getattr(p, "key", str(p)) for p in path]
@@ -65,7 +72,12 @@ def trainable_mask(params, model_cfg: ModelConfig):
             return True  # head
         if len(keys) < 2:
             return False
-        stage = keys[1].split("_")[0]  # layer4_block2 -> layer4
+        if keys[1] in _EMBED:
+            stage = "embed"
+        elif keys[1].startswith("block") or keys[1] == "ln":
+            stage = keys[1]  # ViT: block7 / ln
+        else:
+            stage = keys[1].split("_")[0]  # layer4_block2 -> layer4
         return stage in trainable_stages
 
     return jax.tree_util.tree_map_with_path(mask_for, params)
@@ -97,8 +109,11 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
         total = train_cfg.max_epochs
     else:
         total = steps_per_epoch * train_cfg.max_epochs
+    # family/num_layers matter: the memoized mask closure resolves
+    # trainable stages per family ('layer4' auto-maps for ViT).
     key = (total, steps_per_epoch, train_cfg.scheduler_step,
-           model_cfg.trainable_stages, model_cfg.head_only)
+           model_cfg.trainable_stages, model_cfg.head_only,
+           model_cfg.family, model_cfg.num_layers)
     tx = _TX_MEMO.get(key)
     if tx is None:
         shape = _onecycle_shape(total, steps_per_epoch,
@@ -160,7 +175,7 @@ def create_train_state(model, variables, train_cfg: TrainConfig,
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        batch_stats=variables.get("batch_stats", {}),  # ViT: no BN stats
         opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,

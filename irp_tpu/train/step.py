@@ -70,7 +70,7 @@ def _loss_and_updates(state, x, labels, dropout_key, class_weights,
     (loss, (logits, mutated)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads).replace(
-        batch_stats=mutated["batch_stats"])
+        batch_stats=mutated.get("batch_stats", {}))  # ViT: no BN stats
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     return new_state, {"loss": loss, "accuracy": acc}
 

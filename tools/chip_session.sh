@@ -106,6 +106,11 @@ run_stage bench_serve   1800 python tools/bench_serve.py --synthetic \
 run_stage bench_remat   2400 env BENCH_BUDGET_SECS=2100 BENCH_REMAT=1 \
     python bench.py
 
+# ViT family throughput (beyond-reference breadth): vit_b_16 train+eval
+# through the same hardened harness.
+run_stage bench_vit     2400 env BENCH_BUDGET_SECS=2100 BENCH_FAMILY=vit \
+    python bench.py
+
 # Rehearsal's structured result lives in its work dir; mirror it too.
 cp -f /tmp/chip/rehearsal/rehearsal_summary.json \
     /root/repo/artifacts/chip/rehearsal_summary.json 2>/dev/null || true
