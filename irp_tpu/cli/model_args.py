@@ -1,27 +1,35 @@
-"""Shared --family/--depth/--vit-variant argparse wiring for the training
+"""Shared --family/--depth/--*-variant argparse wiring for the training
 CLIs (run_hyperopt.py, run_final.py).
 
 The reference hardcodes ResNet50 (reference functions/model.py:15); here
 the backbone family is a flag: ``--family resnet --depth 50`` (default,
-reference-parity) or ``--family vit --vit-variant b_16`` (torchvision
-vision_transformer sizes, models/vit.py VIT_VARIANTS).
+reference-parity), ``--family vit --vit-variant b_16`` (torchvision
+vision_transformer sizes, models/vit.py VIT_VARIANTS), or ``--family
+efficientnet --efficientnet-variant b0`` (torchvision efficientnet_b*
+sizes, models/efficientnet.py EFFICIENTNET_VARIANTS).
 """
 
 from __future__ import annotations
 
 
 def add_model_family_args(parser) -> None:
-    parser.add_argument("--family", choices=("resnet", "vit"),
+    parser.add_argument("--family",
+                        choices=("resnet", "vit", "efficientnet"),
                         default="resnet",
                         help="backbone family (default: resnet, the "
                              "reference's; 'vit' is the torchvision-"
-                             "compatible Vision Transformer)")
+                             "compatible Vision Transformer; "
+                             "'efficientnet' the torchvision B0-B7 "
+                             "ladder)")
     parser.add_argument("--depth", type=int, default=50,
                         help="ResNet depth 18/34/50/101/152 "
                              "(--family resnet only)")
     parser.add_argument("--vit-variant", default="b_16",
                         help="torchvision ViT size: b_16/b_32/l_16/l_32/"
                              "h_14 (--family vit only)")
+    parser.add_argument("--efficientnet-variant", default="b0",
+                        help="torchvision EfficientNet size: b0..b7 "
+                             "(--family efficientnet only)")
 
 
 def build_model_base(args, num_classes: int):
@@ -34,6 +42,12 @@ def build_model_base(args, num_classes: int):
         return vit_model_config(args.vit_variant, num_classes=num_classes,
                                 image_size=args.image_size,
                                 pretrained_path=args.pretrained)
+    if args.family == "efficientnet":
+        from irp_tpu.models.efficientnet import efficientnet_model_config
+
+        return efficientnet_model_config(
+            args.efficientnet_variant, num_classes=num_classes,
+            image_size=args.image_size, pretrained_path=args.pretrained)
     return ModelConfig(depth=args.depth, num_classes=num_classes,
                        image_size=args.image_size,
                        pretrained_path=args.pretrained)

@@ -69,9 +69,12 @@ class ModelConfig:
     head (model.py:30-36).
     """
 
-    # Backbone family: 'resnet' (the reference's family, model.py:15) or
+    # Backbone family: 'resnet' (the reference's family, model.py:15),
     # 'vit' (torchvision-compatible Vision Transformer — beyond-reference
-    # breadth; pure-matmul forward, the most MXU-friendly family on TPU).
+    # breadth; pure-matmul forward, the most MXU-friendly family on TPU),
+    # or 'efficientnet' (torchvision-compatible EfficientNet B0-B7 —
+    # MBConv + squeeze-excitation; named variants in
+    # models/efficientnet.py EFFICIENTNET_VARIANTS).
     family: str = "resnet"
     depth: int = 50  # resnet only: 18/34/50/101/152
     num_classes: int = 10
@@ -95,14 +98,24 @@ class ModelConfig:
     # the defaults are the plain ResNet.
     groups: int = 1
     width_per_group: int = 64
+    # EfficientNet family (torchvision's (width_mult, depth_mult)
+    # scaling — b0 = (1.0, 1.0) ... b7 = (2.0, 3.1); use
+    # models/efficientnet.py::efficientnet_model_config for named sizes).
+    # stochastic_depth is the max per-block drop prob (scaled linearly
+    # over block index, torchvision default 0.2); train-time only.
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    stochastic_depth: float = 0.2
     dropout_rate: float = 0.3
     # Frozen backbone except these stages.  ResNet stage names are
     # 'layer1'..'layer4' (the default mirrors reference model.py:17-23);
     # ViT stage names are 'block0'..'block{L-1}', 'ln' (the final encoder
     # LayerNorm), and 'embed' (conv_proj + class_token + pos_embedding).
-    # For family='vit' the untouched ResNet default ('layer4',) is
-    # auto-mapped to the analogous last-block form
-    # ('block{L-1}', 'ln') — see vit_default_trainable_stages.
+    # EfficientNet stage names are 'stem', 'stage1'..'stage7', and 'top'
+    # (the final 1x1 conv).  For family='vit' the untouched ResNet
+    # default ('layer4',) is auto-mapped to the analogous last-block form
+    # ('block{L-1}', 'ln') — see vit_default_trainable_stages; for
+    # family='efficientnet' it maps to ('stage7', 'top').
     trainable_stages: tuple = ("layer4",)
     head_only: bool = False  # freeze everything but the head
     # Frozen-stage BatchNorm mode.  'trainable_only' (default) keeps frozen

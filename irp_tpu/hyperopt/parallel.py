@@ -13,13 +13,17 @@ study resume.
 Threads, not processes: each worker owns a distinct device, so the GIL
 only serializes cheap host-side dispatch while device compute overlaps.
 
-Single-controller caveat (unmeasured — no multi-chip host available):
-all workers share ONE process's XLA compile client and the GIL, so
-per-trial COMPILES (distinct batch_size / aug intensity shapes) plausibly
-serialize even though execution overlaps.  Mitigations already in place:
-the persistent compile cache makes repeated configurations disk hits, and
-the dropout/lr/wd runtime-injection keeps most trials on one executable.
-If compile serialization shows up on real 8-chip hardware, move workers
+Single-controller compile caveat — MEASURED (tools/bench_compile_overlap.py,
+BENCH.md "Sweep-scale compilation"): XLA compiles RELEASE the GIL (a
+pure-Python probe thread retains ~80% of its idle rate while another
+thread compiles), and K=4 concurrent compiles of distinct batch-size
+train steps complete 3.4x faster than the same count sequentially even
+on this 1-core host — per-trial compiles do not serialize behind the
+shared compile client.  Mitigations that make compiles rare in the
+first place: the persistent compile cache makes repeated configurations
+disk hits, and the dropout/lr/wd runtime-injection keeps most trials on
+one executable.  Re-run the tool on a real multi-core 8-chip host for
+the scaling number; if serialization ever shows up there, move workers
 to processes (the SQLite storage already coordinates cross-process —
 tests/test_multiprocess_sweep.py proves that path).
 """

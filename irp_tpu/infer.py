@@ -69,8 +69,16 @@ def infer_model_config(params: dict, image_size: int = 224,
     resolution from the pos_embedding length, and num_heads is
     embed_dim // 64 (head_dim 64 — true of every torchvision ViT; heads
     leave no trace in parameter shapes, see config.py).
+
+    EfficientNet trees are recognized by their ``stem_conv`` and matched
+    against the named B0-B7 ladder by structure (per-stage block counts +
+    stem/top/per-stage channel widths) — the (width_mult, depth_mult)
+    pair is what the BN constants key on, so a structural match recovers
+    the exact eval-form numerics.
     """
     backbone = params["backbone"]
+    if "stem_conv" in backbone:
+        return _infer_efficientnet_config(params, image_size, compute_dtype)
     if "class_token" in backbone:
         embed = int(np.shape(backbone["class_token"])[-1])
         patch = int(np.shape(backbone["conv_proj"]["kernel"])[0])
@@ -122,6 +130,47 @@ def infer_model_config(params: dict, image_size: int = 224,
                        image_size=image_size, hidden_dim=hidden_dim,
                        groups=groups, width_per_group=width_per_group,
                        compute_dtype=compute_dtype)
+
+
+def _infer_efficientnet_config(params: dict, image_size: int,
+                               compute_dtype: str) -> ModelConfig:
+    """Match an EfficientNet weight tree to a named B0-B7 variant.
+
+    Structure observed from the tree: per-stage block counts, stem/top
+    conv widths, and per-stage project widths; compared against each
+    variant's scaled table (models/efficientnet.py::scaled_setting).
+    """
+    from irp_tpu.models.efficientnet import (
+        EFFICIENTNET_VARIANTS, STAGE_COUNT, scaled_setting, top_channels)
+
+    backbone = params["backbone"]
+    counts = [0] * STAGE_COUNT
+    for key in backbone:
+        if key.startswith("stage") and "_block" in key:
+            counts[int(key.split("_block")[0][len("stage"):]) - 1] += 1
+    stem_ch = int(np.shape(backbone["stem_conv"]["kernel"])[-1])
+    top_ch = int(np.shape(backbone["top_conv"]["kernel"])[-1])
+    stage_out = [int(np.shape(
+        backbone[f"stage{s + 1}_block0"]["project_conv"]["kernel"])[-1])
+        for s in range(STAGE_COUNT)]
+    for name, v in EFFICIENTNET_VARIANTS.items():
+        wm, dm = v["width_mult"], v["depth_mult"]
+        setting = scaled_setting(wm, dm)
+        if (counts == [s[5] for s in setting]
+                and stem_ch == setting[0][3]
+                and stage_out == [s[4] for s in setting]
+                and top_ch == top_channels(wm)):
+            hidden_dim = int(np.shape(params["head_dense1"]["kernel"])[1])
+            num_classes = int(np.shape(params["head_dense2"]["kernel"])[1])
+            return ModelConfig(family="efficientnet", width_mult=wm,
+                               depth_mult=dm, num_classes=num_classes,
+                               hidden_dim=hidden_dim, image_size=image_size,
+                               compute_dtype=compute_dtype)
+    raise ValueError(
+        f"EfficientNet weight tree matches no named B0-B7 variant "
+        f"(stage blocks {counts}, stem {stem_ch}, top {top_ch}); "
+        f"non-standard width/depth multipliers need an explicit "
+        f"ModelConfig")
 
 
 @dataclass

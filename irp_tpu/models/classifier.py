@@ -18,6 +18,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from irp_tpu.config import ModelConfig
+from irp_tpu.models.efficientnet import (
+    STAGE_COUNT as _EFF_STAGES, EfficientNet,
+    efficientnet_default_trainable_stages)
 from irp_tpu.models.resnet import STAGE_NAMES, ResNet
 from irp_tpu.models.vit import VisionTransformer, vit_default_trainable_stages
 
@@ -30,6 +33,9 @@ def resolve_trainable_stages(cfg: ModelConfig) -> tuple:
     (vit_default_trainable_stages); anything else is taken literally."""
     if cfg.family == "vit" and tuple(cfg.trainable_stages) == ("layer4",):
         return vit_default_trainable_stages(cfg.num_layers)
+    if (cfg.family == "efficientnet"
+            and tuple(cfg.trainable_stages) == ("layer4",)):
+        return efficientnet_default_trainable_stages()
     return tuple(cfg.trainable_stages)
 
 
@@ -58,17 +64,62 @@ def _vit_frozen_prefix(cfg: ModelConfig, stages: tuple) -> int:
     return min(blocks) if blocks else cfg.num_layers
 
 
+def _efficientnet_freezing(cfg: ModelConfig, stages: tuple):
+    """(frozen_prefix, top_frozen) for an EfficientNet config.
+
+    frozen_prefix = leading MBConv stages with no trainable stage at or
+    before them ('stem' trainable => prefix 0 — the stem sits before
+    stage 1, so the stop_gradient cut must not cover it).
+    """
+    if cfg.head_only:
+        return _EFF_STAGES, True
+    top_frozen = "top" not in stages
+    if "stem" in stages:
+        return 0, top_frozen
+    indices = []
+    for name in stages:
+        if name.startswith("stage"):
+            idx = int(name[len("stage"):])
+            if not 1 <= idx <= _EFF_STAGES:
+                raise ValueError(
+                    f"trainable stage {name!r} out of range "
+                    f"(stage1..stage{_EFF_STAGES})")
+            indices.append(idx)
+        elif name != "top":
+            raise ValueError(
+                f"unknown EfficientNet trainable stage {name!r} (expected "
+                f"'stage<i>', 'stem', or 'top')")
+    prefix = min(indices) - 1 if indices else _EFF_STAGES
+    return prefix, top_frozen
+
+
 class Classifier(nn.Module):
-    """Backbone (ResNet or ViT family) + 2-layer MLP head."""
+    """Backbone (ResNet, ViT, or EfficientNet family) + 2-layer MLP head."""
 
     config: ModelConfig
 
     def setup(self):
         cfg = self.config
-        if cfg.family not in ("resnet", "vit"):
+        if cfg.family not in ("resnet", "vit", "efficientnet"):
             raise ValueError(f"unknown model family {cfg.family!r}")
         dtype = jnp.dtype(cfg.compute_dtype)
         precision = _resolve_precision(cfg.precision)
+        if cfg.family == "efficientnet":
+            if cfg.fused_frozen_blocks == "on":
+                raise ValueError("fused_frozen_blocks='on' is a ResNet "
+                                 "bottleneck kernel; not available for "
+                                 "family='efficientnet'")
+            stages = resolve_trainable_stages(cfg)
+            frozen_prefix, top_frozen = _efficientnet_freezing(cfg, stages)
+            self.backbone = EfficientNet(
+                width_mult=cfg.width_mult, depth_mult=cfg.depth_mult,
+                dtype=dtype, frozen_prefix=frozen_prefix,
+                top_frozen=top_frozen, bn_stats_mode=cfg.bn_stats_mode,
+                stochastic_depth_prob=cfg.stochastic_depth,
+                precision=precision,
+                remat_blocks=cfg.remat_trainable_blocks)
+            self._build_head(cfg, dtype, precision)
+            return
         if cfg.family == "vit":
             if cfg.fused_frozen_blocks == "on":
                 raise ValueError("fused_frozen_blocks='on' is a ResNet "

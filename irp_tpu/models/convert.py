@@ -95,6 +95,13 @@ def _is_vit_state_dict(state_dict) -> bool:
                for k in state_dict)
 
 
+def _is_efficientnet_state_dict(state_dict) -> bool:
+    # torchvision efficientnet_b* backbones live entirely under
+    # ``features.`` (ResNet uses conv1/layer*, ViT class_token/encoder.)
+    return any(_strip_prefix(k).startswith("features.")
+               for k in state_dict)
+
+
 def _np(value) -> np.ndarray:
     v = getattr(value, "detach", lambda: value)()
     return np.asarray(getattr(v, "numpy", lambda: v)(), dtype=np.float32)
@@ -175,6 +182,96 @@ def _vit_state_dict_to_variables(state_dict) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": {}}
 
 
+# torchvision MBConv submodule roles by index inside ``block``: stage 1
+# (expand_ratio == 1, models/efficientnet.py _BASE_SETTING) has no expand
+# conv; every other stage does.  Fixed by the V1 architecture table, so
+# conversion needs no variant name.
+_EFF_ROLES_NO_EXPAND = {"0": "dw", "1": "se", "2": "project"}
+_EFF_ROLES_EXPAND = {"0": "expand", "1": "dw", "2": "se", "3": "project"}
+
+
+def _efficientnet_state_dict_to_variables(state_dict) -> Dict[str, Dict]:
+    """torchvision efficientnet_b* state_dict -> flax variables
+    (models/efficientnet.py naming).
+
+    ``features.0`` / ``features.8`` are the stem / top
+    Conv2dNormActivation pairs; ``features.{s}.{j}.block.{k}`` MBConv
+    submodules map to expand/dw/se/project by the fixed V1 role table.
+    SE fc1/fc2 are 1x1 convs with bias (same OIHW->HWIO transpose).
+    torchvision's own ``classifier.1`` (single Linear) is skipped; the
+    irp_tpu head loads from ``classifier.{1,4}`` keys only when the
+    hidden Linear pair is present (reference model.py:30-36).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    backbone: Dict = {}
+    bstats: Dict = {}
+    head_keys = {k for k in state_dict
+                 if _strip_prefix(k).startswith("classifier.")}
+    has_mlp_head = any(_strip_prefix(k).startswith("classifier.4.")
+                       for k in head_keys)
+    for key, value in state_dict.items():
+        key = _strip_prefix(key)
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key.startswith("classifier."):
+            if not has_mlp_head:
+                continue  # torchvision's own 1000-way head: not ours
+            m = re.match(r"^classifier\.(\d)\.(weight|bias)$", key)
+            dense = {"1": "head_dense1", "4": "head_dense2"}.get(m.group(1))
+            if dense is None:
+                continue  # dropout indices carry no params anyway
+            arr = _np(value)
+            _set_path(params, (dense,
+                               "kernel" if m.group(2) == "weight"
+                               else "bias"),
+                      arr.T if m.group(2) == "weight" else arr)
+            continue
+        arr = _np(value)
+        m = re.match(r"^features\.(\d+)\.(.+)$", key)
+        if not m:
+            raise KeyError(f"unrecognized EfficientNet torch key: {key}")
+        fidx, rest = int(m.group(1)), m.group(2)
+        if fidx in (0, 8):  # stem / top Conv2dNormActivation
+            name = "stem" if fidx == 0 else "top"
+            sub, field = rest.split(".", 1)
+            if sub == "0":
+                _set_path(backbone, (f"{name}_conv", "kernel"),
+                          arr.transpose(2, 3, 1, 0))
+            else:
+                coll, leaf = _BN_MAP[field]
+                target = backbone if coll == "params" else bstats
+                _set_path(target, (f"{name}_bn", leaf), arr)
+            continue
+        m = re.match(r"^(\d+)\.block\.(\d+)\.(.+)$", rest)
+        if not m:
+            raise KeyError(f"unrecognized EfficientNet torch key: {key}")
+        j, k, leaf_key = m.groups()
+        block = f"stage{fidx}_block{j}"
+        roles = _EFF_ROLES_NO_EXPAND if fidx == 1 else _EFF_ROLES_EXPAND
+        role = roles.get(k)
+        if role is None:
+            raise KeyError(f"unrecognized EfficientNet torch key: {key}")
+        if role == "se":
+            fc, field = leaf_key.split(".")
+            name = "kernel" if field == "weight" else "bias"
+            _set_path(backbone, (block, f"se_{fc}", name),
+                      arr.transpose(2, 3, 1, 0) if name == "kernel"
+                      else arr)
+        else:
+            sub, field = leaf_key.split(".", 1)
+            if sub == "0":
+                _set_path(backbone, (block, f"{role}_conv", "kernel"),
+                          arr.transpose(2, 3, 1, 0))
+            else:
+                coll, leaf = _BN_MAP[field]
+                target = backbone if coll == "params" else bstats
+                _set_path(target, (block, f"{role}_bn", leaf), arr)
+    params["backbone"] = backbone
+    stats["backbone"] = bstats
+    return {"params": params, "batch_stats": stats}
+
+
 def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
     """Convert a torch state_dict (tensors or ndarrays) to flax variables.
 
@@ -182,10 +279,13 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
     float32 numpy arrays.  Missing head keys are fine (backbone-only
     torchvision checkpoints); merge over a randomly-initialized tree with
     ``merge_pretrained``.  ViT state_dicts (torchvision vit_*) are
-    auto-detected by their class_token/encoder keys.
+    auto-detected by their class_token/encoder keys; EfficientNet ones
+    (torchvision efficientnet_b*) by their ``features.`` keys.
     """
     if _is_vit_state_dict(state_dict):
         return _vit_state_dict_to_variables(state_dict)
+    if _is_efficientnet_state_dict(state_dict):
+        return _efficientnet_state_dict_to_variables(state_dict)
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
         mapped = torch_key_to_flax(key)
@@ -299,12 +399,67 @@ def _vit_variables_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _efficientnet_variables_to_torch_state_dict(
+        variables) -> Dict[str, np.ndarray]:
+    """Inverse EfficientNet conversion (torchvision features.* layout)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    b, bs = params["backbone"], stats.get("backbone", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(tkey, kernel):
+        sd[tkey] = np.asarray(kernel, np.float32).transpose(3, 2, 0, 1)
+
+    def put_bn(tprefix, pnode, snode):
+        sd[f"{tprefix}.weight"] = np.asarray(pnode["scale"], np.float32)
+        sd[f"{tprefix}.bias"] = np.asarray(pnode["bias"], np.float32)
+        sd[f"{tprefix}.running_mean"] = np.asarray(snode["mean"], np.float32)
+        sd[f"{tprefix}.running_var"] = np.asarray(snode["var"], np.float32)
+
+    put_conv("backbone.features.0.0.weight", b["stem_conv"]["kernel"])
+    put_bn("backbone.features.0.1", b["stem_bn"], bs["stem_bn"])
+    blocks = sorted((k for k in b if k.startswith("stage")),
+                    key=lambda k: (int(k.split("_block")[0][len("stage"):]),
+                                   int(k.split("_block")[1])))
+    for fkey in blocks:
+        stage, j = fkey.split("_block")
+        s = int(stage[len("stage"):])
+        tbase = f"backbone.features.{s}.{j}.block"
+        roles = _EFF_ROLES_NO_EXPAND if s == 1 else _EFF_ROLES_EXPAND
+        idx_of = {v: k for k, v in roles.items()}
+        node, snode = b[fkey], bs[fkey]
+        for role in ("expand", "dw", "project"):
+            if f"{role}_conv" not in node:
+                continue
+            k = idx_of[role]
+            put_conv(f"{tbase}.{k}.0.weight", node[f"{role}_conv"]["kernel"])
+            put_bn(f"{tbase}.{k}.1", node[f"{role}_bn"],
+                   snode[f"{role}_bn"])
+        k = idx_of["se"]
+        for fc in ("fc1", "fc2"):
+            put_conv(f"{tbase}.{k}.{fc}.weight",
+                     node[f"se_{fc}"]["kernel"])
+            sd[f"{tbase}.{k}.{fc}.bias"] = np.asarray(
+                node[f"se_{fc}"]["bias"], np.float32)
+    put_conv("backbone.features.8.0.weight", b["top_conv"]["kernel"])
+    put_bn("backbone.features.8.1", b["top_bn"], bs["top_bn"])
+    for idx, dense in (("1", "head_dense1"), ("4", "head_dense2")):
+        sd[f"classifier.{idx}.weight"] = np.asarray(
+            params[dense]["kernel"], np.float32).T
+        sd[f"classifier.{idx}.bias"] = np.asarray(
+            params[dense]["bias"], np.float32)
+    return sd
+
+
 def flax_variables_to_torch_state_dict(variables, depth: int = 50):
     """Inverse conversion (for exporting checkpoints the reference stack
     could load; reverse of torch_state_dict_to_variables).  ViT trees are
-    auto-detected by their class_token key; ``depth`` is ResNet-only."""
+    auto-detected by their class_token key, EfficientNet ones by their
+    stem_conv key; ``depth`` is ResNet-only."""
     if "class_token" in variables["params"].get("backbone", {}):
         return _vit_variables_to_torch_state_dict(variables)
+    if "stem_conv" in variables["params"].get("backbone", {}):
+        return _efficientnet_variables_to_torch_state_dict(variables)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: Dict[str, np.ndarray] = {}

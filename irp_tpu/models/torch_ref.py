@@ -128,6 +128,131 @@ class TorchAnimalClassifier(nn.Module):
         return self.classifier(self.backbone(x))
 
 
+class _SqueezeExcitation(nn.Module):
+    """torchvision.ops.SqueezeExcitation with SiLU activation (the
+    efficientnet configuration): avgpool -> fc1 1x1 -> SiLU -> fc2 1x1 ->
+    sigmoid scale."""
+
+    def __init__(self, input_channels, squeeze_channels):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(input_channels, squeeze_channels, 1)
+        self.fc2 = nn.Conv2d(squeeze_channels, input_channels, 1)
+        self.activation = nn.SiLU(inplace=True)
+        self.scale_activation = nn.Sigmoid()
+
+    def forward(self, x):
+        s = self.fc2(self.activation(self.fc1(self.avgpool(x))))
+        return x * self.scale_activation(s)
+
+
+def _cna(in_ch, out_ch, kernel, stride, groups, norm_layer, activation):
+    """torchvision Conv2dNormActivation: conv (no bias) + BN + activation
+    — submodule indices 0/1/2 so state_dict keys line up."""
+    layers = [nn.Conv2d(in_ch, out_ch, kernel, stride,
+                        (kernel - 1) // 2, groups=groups, bias=False),
+              norm_layer(out_ch)]
+    if activation is not None:
+        layers.append(activation(inplace=True))
+    return nn.Sequential(*layers)
+
+
+class _MBConv(nn.Module):
+    """torchvision MBConv (expand -> depthwise -> SE -> project) with the
+    exact ``block.{i}`` submodule layout."""
+
+    def __init__(self, in_ch, out_ch, expand_ratio, kernel, stride,
+                 sd_prob, norm_layer):
+        super().__init__()
+        from irp_tpu.models.efficientnet import make_divisible
+
+        self.use_res = stride == 1 and in_ch == out_ch
+        self.sd_prob = sd_prob
+        expanded = (make_divisible(in_ch * expand_ratio)
+                    if expand_ratio != 1 else in_ch)
+        layers = []
+        if expand_ratio != 1:
+            layers.append(_cna(in_ch, expanded, 1, 1, 1, norm_layer,
+                               nn.SiLU))
+        layers.append(_cna(expanded, expanded, kernel, stride, expanded,
+                           norm_layer, nn.SiLU))
+        layers.append(_SqueezeExcitation(expanded, max(1, in_ch // 4)))
+        layers.append(_cna(expanded, out_ch, 1, 1, 1, norm_layer, None))
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.block(x)
+        if self.use_res:
+            if self.training and self.sd_prob > 0.0:
+                keep = 1.0 - self.sd_prob
+                mask = torch.empty(x.shape[0], 1, 1, 1,
+                                   device=x.device).bernoulli_(keep)
+                y = y * mask / keep
+            y = y + x
+        return y
+
+
+class TorchEfficientNet(nn.Module):
+    """Headless torchvision-layout EfficientNet (globally-pooled feature).
+
+    State_dict keys match torchvision.models.efficientnet_b* exactly
+    (features.0.{0,1} stem, features.{1..7}.{j}.block.{k} MBConv stages,
+    features.8.{0,1} head conv); the classifier is omitted (the irp_tpu
+    Classifier supplies its own MLP head, reference model.py:27-36).
+    """
+
+    def __init__(self, width_mult=1.0, depth_mult=1.0):
+        super().__init__()
+        from irp_tpu.models.efficientnet import (bn_constants,
+                                                 scaled_setting,
+                                                 top_channels)
+
+        eps, flax_momentum = bn_constants(width_mult, depth_mult)
+        norm_layer = partial(nn.BatchNorm2d, eps=eps,
+                             momentum=round(1.0 - flax_momentum, 6))
+        setting = scaled_setting(width_mult, depth_mult)
+        total_blocks = sum(s[5] for s in setting)
+
+        features = [_cna(3, setting[0][3], 3, 2, 1, norm_layer, nn.SiLU)]
+        block_id = 0
+        for expand, kernel, stride, in_ch, out_ch, layers in setting:
+            stage = []
+            for j in range(layers):
+                sd = 0.2 * block_id / total_blocks
+                stage.append(_MBConv(in_ch if j == 0 else out_ch, out_ch,
+                                     expand, kernel,
+                                     stride if j == 0 else 1, sd,
+                                     norm_layer))
+                block_id += 1
+            features.append(nn.Sequential(*stage))
+        features.append(_cna(setting[-1][4], top_channels(width_mult), 1, 1,
+                             1, norm_layer, nn.SiLU))
+        self.features = nn.Sequential(*features)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x))
+        return torch.flatten(x, 1)
+
+
+class TorchEfficientNetClassifier(nn.Module):
+    """EfficientNet backbone + the reference's MLP head shape
+    (model.py:30-36)."""
+
+    def __init__(self, num_classes=10, hidden=512, width_mult=1.0,
+                 depth_mult=1.0):
+        super().__init__()
+        from irp_tpu.models.efficientnet import top_channels
+
+        self.backbone = TorchEfficientNet(width_mult, depth_mult)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.0), nn.Linear(top_channels(width_mult), hidden),
+            nn.ReLU(), nn.Dropout(0.0), nn.Linear(hidden, num_classes))
+
+    def forward(self, x):
+        return self.classifier(self.backbone(x))
+
+
 class _ViTEncoderBlock(nn.Module):
     """torchvision EncoderBlock: pre-LN attention + pre-LN MLP, with
     torchvision's exact submodule names (ln_1 / self_attention / ln_2 /

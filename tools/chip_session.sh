@@ -111,6 +111,10 @@ run_stage bench_remat   2400 env BENCH_BUDGET_SECS=2100 BENCH_REMAT=1 \
 run_stage bench_vit     2400 env BENCH_BUDGET_SECS=2100 BENCH_FAMILY=vit \
     python bench.py
 
+# EfficientNet family throughput (beyond-reference breadth): b0 at 224.
+run_stage bench_efficientnet 2400 env BENCH_BUDGET_SECS=2100 \
+    BENCH_FAMILY=efficientnet python bench.py
+
 # Rehearsal's structured result lives in its work dir; mirror it too.
 cp -f /tmp/chip/rehearsal/rehearsal_summary.json \
     /root/repo/artifacts/chip/rehearsal_summary.json 2>/dev/null || true
