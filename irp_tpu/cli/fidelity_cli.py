@@ -11,7 +11,12 @@ executor (irp_tpu.models.torch_ref) loaded with identical weights, and
 reports max |logit difference| and top-1 agreement.
 
   python run_fidelity.py --shards './data/webdataset/test-*.tar' \
-      [--checkpoint final_model.pth] [--samples 64] [--depth 50]
+      [--checkpoint final_model.pth] [--samples 64] [--depth 50] \
+      [--family resnet|vit|efficientnet]
+
+All families run at the 224px eval geometry (the reference contract,
+dataload.py:51-57); beyond-reference families check against their
+torchvision-layout torch references (irp_tpu.models.torch_ref).
 """
 
 from __future__ import annotations
@@ -28,7 +33,12 @@ def main(argv=None):
                    help=".pth state_dict (ours or the reference's); "
                         "random init if omitted")
     p.add_argument("--samples", type=int, default=64)
-    p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--family", choices=("resnet", "vit", "efficientnet"),
+                   default="resnet")
+    p.add_argument("--depth", type=int, default=50,
+                   help="ResNet depth (--family resnet only)")
+    p.add_argument("--vit-variant", default="b_16")
+    p.add_argument("--efficientnet-variant", default="b0")
     p.add_argument("--num-classes", type=int, default=10)
     p.add_argument("--tolerance", type=float, default=1e-3)
     p.add_argument("--cpu", action="store_true")
@@ -68,10 +78,22 @@ def main(argv=None):
 
     # torch-parity entry point: pin BN to reference .train()/.eval()
     # semantics explicitly rather than inheriting the perf-oriented
-    # 'trainable_only' default.
-    cfg = ModelConfig(depth=args.depth, num_classes=args.num_classes,
-                      dropout_rate=0.0, compute_dtype="float32",
-                      precision="highest", bn_stats_mode="all")
+    # 'trainable_only' default.  All families use the 224px eval
+    # geometry (ViT's pos_embedding requires it; EfficientNet variants
+    # accept any size).
+    common = dict(num_classes=args.num_classes, dropout_rate=0.0,
+                  compute_dtype="float32", precision="highest",
+                  bn_stats_mode="all", image_size=224)
+    if args.family == "vit":
+        from irp_tpu.models.vit import vit_model_config
+
+        cfg = vit_model_config(args.vit_variant, **common)
+    elif args.family == "efficientnet":
+        from irp_tpu.models.efficientnet import efficientnet_model_config
+
+        cfg = efficientnet_model_config(args.efficientnet_variant, **common)
+    else:
+        cfg = ModelConfig(depth=args.depth, **common)
     model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 224)
     if args.checkpoint:
         variables = merge_pretrained(
@@ -83,8 +105,24 @@ def main(argv=None):
 
     # Torch execution of the same weights on the same preprocessed pixels
     sd = flax_variables_to_torch_state_dict(variables, depth=args.depth)
-    tmodel = TorchAnimalClassifier(depth=args.depth,
-                                   num_classes=args.num_classes)
+    if args.family == "vit":
+        from irp_tpu.models.torch_ref import TorchViTClassifier
+
+        tmodel = TorchViTClassifier(
+            num_classes=args.num_classes, hidden=cfg.hidden_dim,
+            patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads or cfg.embed_dim // 64,
+            mlp_dim=cfg.mlp_dim, image_size=224)
+    elif args.family == "efficientnet":
+        from irp_tpu.models.torch_ref import TorchEfficientNetClassifier
+
+        tmodel = TorchEfficientNetClassifier(
+            num_classes=args.num_classes, hidden=cfg.hidden_dim,
+            width_mult=cfg.width_mult, depth_mult=cfg.depth_mult)
+    else:
+        tmodel = TorchAnimalClassifier(depth=args.depth,
+                                       num_classes=args.num_classes)
     missing, unexpected = tmodel.load_state_dict(
         {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
     assert not unexpected and all("num_batches_tracked" in k
