@@ -75,6 +75,25 @@ def test_run_fidelity_cli(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["vit", "efficientnet"])
+def test_run_fidelity_cli_families(tmp_path, family):
+    """--family dispatch: the beyond-reference families pass the same
+    1e-3 torch-parity bar through the CLI (224px eval geometry)."""
+    pytest.importorskip("torch")
+    import run_fidelity
+    from tests.synth import make_synthetic_shards
+
+    make_synthetic_shards(str(tmp_path), num_classes=2, per_class=4,
+                          samples_per_shard=8, seed=0, size=224,
+                          prefix="test")
+    rc = run_fidelity.main([
+        "--shards", os.path.join(str(tmp_path), "test-*.tar"),
+        "--samples", "4", "--family", family, "--num-classes", "2",
+        "--cpu"])
+    assert rc == 0
+
+
 def test_run_final_cli_error_paths(tmp_path, capsys):
     import run_final
 
