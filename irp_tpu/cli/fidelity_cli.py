@@ -33,12 +33,9 @@ def main(argv=None):
                    help=".pth state_dict (ours or the reference's); "
                         "random init if omitted")
     p.add_argument("--samples", type=int, default=64)
-    p.add_argument("--family", choices=("resnet", "vit", "efficientnet"),
-                   default="resnet")
-    p.add_argument("--depth", type=int, default=50,
-                   help="ResNet depth (--family resnet only)")
-    p.add_argument("--vit-variant", default="b_16")
-    p.add_argument("--efficientnet-variant", default="b0")
+    from irp_tpu.cli.model_args import add_model_family_args
+
+    add_model_family_args(p)
     p.add_argument("--num-classes", type=int, default=10)
     p.add_argument("--tolerance", type=float, default=1e-3)
     p.add_argument("--cpu", action="store_true")
@@ -58,7 +55,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import torch
 
-    from irp_tpu.config import ModelConfig
+    from irp_tpu.cli.model_args import model_config_for_family
     from irp_tpu.data.analyze import analyze_webdataset
     from irp_tpu.data.pipeline import build_cache
     from irp_tpu.models import (flax_variables_to_torch_state_dict,
@@ -81,19 +78,12 @@ def main(argv=None):
     # 'trainable_only' default.  All families use the 224px eval
     # geometry (ViT's pos_embedding requires it; EfficientNet variants
     # accept any size).
-    common = dict(num_classes=args.num_classes, dropout_rate=0.0,
-                  compute_dtype="float32", precision="highest",
-                  bn_stats_mode="all", image_size=224)
-    if args.family == "vit":
-        from irp_tpu.models.vit import vit_model_config
-
-        cfg = vit_model_config(args.vit_variant, **common)
-    elif args.family == "efficientnet":
-        from irp_tpu.models.efficientnet import efficientnet_model_config
-
-        cfg = efficientnet_model_config(args.efficientnet_variant, **common)
-    else:
-        cfg = ModelConfig(depth=args.depth, **common)
+    cfg = model_config_for_family(
+        args.family, depth=args.depth, vit_variant=args.vit_variant,
+        efficientnet_variant=args.efficientnet_variant,
+        num_classes=args.num_classes, dropout_rate=0.0,
+        compute_dtype="float32", precision="highest",
+        bn_stats_mode="all", image_size=224)
     model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 224)
     if args.checkpoint:
         variables = merge_pretrained(
@@ -107,26 +97,31 @@ def main(argv=None):
     sd = flax_variables_to_torch_state_dict(variables, depth=args.depth)
     if args.family == "vit":
         from irp_tpu.models.torch_ref import TorchViTClassifier
+        from irp_tpu.models.vit import resolve_num_heads
 
         tmodel = TorchViTClassifier(
             num_classes=args.num_classes, hidden=cfg.hidden_dim,
             patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
-            num_layers=cfg.num_layers,
-            num_heads=cfg.num_heads or cfg.embed_dim // 64,
+            num_layers=cfg.num_layers, num_heads=resolve_num_heads(cfg),
             mlp_dim=cfg.mlp_dim, image_size=224)
     elif args.family == "efficientnet":
         from irp_tpu.models.torch_ref import TorchEfficientNetClassifier
 
         tmodel = TorchEfficientNetClassifier(
             num_classes=args.num_classes, hidden=cfg.hidden_dim,
-            width_mult=cfg.width_mult, depth_mult=cfg.depth_mult)
+            width_mult=cfg.width_mult, depth_mult=cfg.depth_mult,
+            stochastic_depth_prob=cfg.stochastic_depth)
     else:
         tmodel = TorchAnimalClassifier(depth=args.depth,
                                        num_classes=args.num_classes)
     missing, unexpected = tmodel.load_state_dict(
         {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
-    assert not unexpected and all("num_batches_tracked" in k
-                                  for k in missing)
+    bad = list(unexpected) + [k for k in missing
+                              if "num_batches_tracked" not in k]
+    if bad:
+        print(f"state_dict mismatch loading the torch reference: {bad}",
+              file=sys.stderr)
+        return 2
     tmodel.eval()
     with torch.no_grad():
         theirs = tmodel(torch.tensor(np.asarray(x)).permute(0, 3, 1, 2))

@@ -32,22 +32,30 @@ def add_model_family_args(parser) -> None:
                              "(--family efficientnet only)")
 
 
-def build_model_base(args, num_classes: int):
-    """ModelConfig from parsed family args + dataset class count."""
+def model_config_for_family(family: str, *, depth: int = 50,
+                            vit_variant: str = "b_16",
+                            efficientnet_variant: str = "b0",
+                            **overrides):
+    """ModelConfig for a (family, variant) pair — the single construction
+    point shared by the training CLIs and the fidelity harness, so a new
+    family threads through every entry point at once."""
     from irp_tpu.config import ModelConfig
 
-    if args.family == "vit":
+    if family == "vit":
         from irp_tpu.models.vit import vit_model_config
 
-        return vit_model_config(args.vit_variant, num_classes=num_classes,
-                                image_size=args.image_size,
-                                pretrained_path=args.pretrained)
-    if args.family == "efficientnet":
+        return vit_model_config(vit_variant, **overrides)
+    if family == "efficientnet":
         from irp_tpu.models.efficientnet import efficientnet_model_config
 
-        return efficientnet_model_config(
-            args.efficientnet_variant, num_classes=num_classes,
-            image_size=args.image_size, pretrained_path=args.pretrained)
-    return ModelConfig(depth=args.depth, num_classes=num_classes,
-                       image_size=args.image_size,
-                       pretrained_path=args.pretrained)
+        return efficientnet_model_config(efficientnet_variant, **overrides)
+    return ModelConfig(depth=depth, **overrides)
+
+
+def build_model_base(args, num_classes: int):
+    """ModelConfig from parsed family args + dataset class count."""
+    return model_config_for_family(
+        args.family, depth=args.depth, vit_variant=args.vit_variant,
+        efficientnet_variant=args.efficientnet_variant,
+        num_classes=num_classes, image_size=args.image_size,
+        pretrained_path=args.pretrained)

@@ -22,7 +22,8 @@ from irp_tpu.models.efficientnet import (
     STAGE_COUNT as _EFF_STAGES, EfficientNet,
     efficientnet_default_trainable_stages)
 from irp_tpu.models.resnet import STAGE_NAMES, ResNet
-from irp_tpu.models.vit import VisionTransformer, vit_default_trainable_stages
+from irp_tpu.models.vit import (VisionTransformer, resolve_num_heads,
+                                vit_default_trainable_stages)
 
 
 def resolve_trainable_stages(cfg: ModelConfig) -> tuple:
@@ -129,8 +130,7 @@ class Classifier(nn.Module):
             self.backbone = VisionTransformer(
                 patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
                 num_layers=cfg.num_layers,
-                # 0 = auto: head_dim 64 (config.py note; vit_h_14 sets 16)
-                num_heads=cfg.num_heads or cfg.embed_dim // 64,
+                num_heads=resolve_num_heads(cfg),
                 mlp_dim=cfg.mlp_dim, image_size=cfg.image_size, dtype=dtype,
                 frozen_prefix=_vit_frozen_prefix(cfg, stages),
                 precision=precision,

@@ -123,7 +123,8 @@ def efficientnet_model_config(variant: str = "b0", **overrides):
 
     ``overrides`` pass through to ModelConfig (num_classes, image_size,
     dropout_rate, trainable_stages, ...) and take precedence.  The
-    variant's native train resolution is the default image_size."""
+    variant's native train resolution is the default image_size, and its
+    torchvision head dropout is the default dropout_rate."""
     from irp_tpu.config import ModelConfig
 
     if variant not in EFFICIENTNET_VARIANTS:
@@ -133,7 +134,8 @@ def efficientnet_model_config(variant: str = "b0", **overrides):
     return ModelConfig(family="efficientnet",
                        **{**dict(width_mult=v["width_mult"],
                                  depth_mult=v["depth_mult"],
-                                 image_size=v["resolution"]),
+                                 image_size=v["resolution"],
+                                 dropout_rate=v["dropout"]),
                           **overrides})
 
 

@@ -201,7 +201,8 @@ class TorchEfficientNet(nn.Module):
     Classifier supplies its own MLP head, reference model.py:27-36).
     """
 
-    def __init__(self, width_mult=1.0, depth_mult=1.0):
+    def __init__(self, width_mult=1.0, depth_mult=1.0,
+                 stochastic_depth_prob=0.2):
         super().__init__()
         from irp_tpu.models.efficientnet import (bn_constants,
                                                  scaled_setting,
@@ -218,7 +219,7 @@ class TorchEfficientNet(nn.Module):
         for expand, kernel, stride, in_ch, out_ch, layers in setting:
             stage = []
             for j in range(layers):
-                sd = 0.2 * block_id / total_blocks
+                sd = stochastic_depth_prob * block_id / total_blocks
                 stage.append(_MBConv(in_ch if j == 0 else out_ch, out_ch,
                                      expand, kernel,
                                      stride if j == 0 else 1, sd,
@@ -240,11 +241,12 @@ class TorchEfficientNetClassifier(nn.Module):
     (model.py:30-36)."""
 
     def __init__(self, num_classes=10, hidden=512, width_mult=1.0,
-                 depth_mult=1.0):
+                 depth_mult=1.0, stochastic_depth_prob=0.2):
         super().__init__()
         from irp_tpu.models.efficientnet import top_channels
 
-        self.backbone = TorchEfficientNet(width_mult, depth_mult)
+        self.backbone = TorchEfficientNet(width_mult, depth_mult,
+                                          stochastic_depth_prob)
         self.classifier = nn.Sequential(
             nn.Dropout(0.0), nn.Linear(top_channels(width_mult), hidden),
             nn.ReLU(), nn.Dropout(0.0), nn.Linear(hidden, num_classes))
@@ -272,8 +274,8 @@ class _ViTEncoderBlock(nn.Module):
             nn.Linear(mlp_dim, embed_dim), nn.Dropout(0.0))
 
     def forward(self, x):
-        y, _ = self.self_attention(self.ln_1(x), self.ln_1(x), self.ln_1(x),
-                                   need_weights=False)
+        y = self.ln_1(x)
+        y, _ = self.self_attention(y, y, y, need_weights=False)
         x = x + y
         return x + self.mlp(self.ln_2(x))
 

@@ -72,6 +72,14 @@ def vit_model_config(variant: str = "b_16", **overrides):
                                         **overrides})
 
 
+def resolve_num_heads(cfg) -> int:
+    """The family's auto-heads rule: ``num_heads=0`` means head_dim 64
+    (config.py num_heads note; true of every torchvision ViT but h_14).
+    Kept in one place so the flax classifier and the torch fidelity
+    reference can never disagree on head count."""
+    return cfg.num_heads or cfg.embed_dim // 64
+
+
 def vit_default_trainable_stages(num_layers: int) -> tuple:
     """The ViT analog of the reference's freeze-all-but-layer4 recipe
     (reference model.py:17-23): last encoder block + the final LayerNorm."""
