@@ -167,6 +167,14 @@ class TrainConfig:
     scheduler_step: str = "batch"  # 'batch' (train.py:42) | 'epoch' (final.py:330)
     seed: int = 42
     label_smoothing: float = 0.0
+    # Batch mixing (beyond-reference recipe support; standard for the ViT /
+    # EfficientNet families): Beta(alpha, alpha) mixup and/or CutMix inside
+    # the jitted step (ops/mix.py — reversed-batch pairing, shard-local
+    # under data parallelism).  0.0 = off (reference behavior, and the
+    # step's RNG streams stay bit-identical to pre-mixing builds).  When
+    # both are set, a per-step fair coin picks the transform.
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
     # Re-permute each device's HBM-resident local shard every epoch
     # (on-device gather, no re-upload) so batch composition re-randomizes
     # like the reference's per-epoch shard-shuffle + 1000-buffer

@@ -284,6 +284,22 @@ def weighted_cross_entropy(logits, labels, class_weights=None,
     return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
+def mixed_weighted_cross_entropy(logits, labels_a, labels_b, lam,
+                                 class_weights=None,
+                                 label_smoothing: float = 0.0):
+    """Loss side of mixup/CutMix (ops/mix.py::mix_batch): the convex
+    two-term form ``lam * CE(y_a) + (1-lam) * CE(y_b)`` — equivalent to
+    soft-target CE without materializing (B, C) one-hots, and the
+    standard way class weighting composes with mixing (each term keeps
+    its own weighted-mean denominator)."""
+    loss_a = weighted_cross_entropy(logits, labels_a, class_weights,
+                                    label_smoothing)
+    loss_b = weighted_cross_entropy(logits, labels_b, class_weights,
+                                    label_smoothing)
+    lam = lam.astype(loss_a.dtype)
+    return lam * loss_a + (1.0 - lam) * loss_b
+
+
 # Module instances memoized on their (frozen, hashable) config: TrainState
 # stores model.apply as static jit aux data, and bound-method equality needs
 # the SAME module instance — a fresh Classifier per fit() would retrace the

@@ -227,10 +227,13 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                 mesh, sampler.per_device, cw, train_cfg.aug_intensity,
                 out_size=model_cfg.image_size, compute_dtype=dtype,
                 label_smoothing=train_cfg.label_smoothing,
-                aug_work_dtype=aug_dtype),
+                aug_work_dtype=aug_dtype,
+                mixup_alpha=train_cfg.mixup_alpha,
+                cutmix_alpha=train_cfg.cutmix_alpha),
             (mesh, sampler.per_device, cw_key, train_cfg.aug_intensity,
              model_cfg.image_size, str(dtype),
-             train_cfg.label_smoothing, str(aug_dtype)))
+             train_cfg.label_smoothing, str(aug_dtype),
+             train_cfg.mixup_alpha, train_cfg.cutmix_alpha))
 
         def run_epoch_hbm(state, epoch):
             if epoch > 0 and train_cfg.hbm_reshuffle:
@@ -251,9 +254,12 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             lambda: make_train_step(
                 cw, train_cfg.aug_intensity,
                 out_size=model_cfg.image_size, compute_dtype=dtype,
-                label_smoothing=train_cfg.label_smoothing),
+                label_smoothing=train_cfg.label_smoothing,
+                mixup_alpha=train_cfg.mixup_alpha,
+                cutmix_alpha=train_cfg.cutmix_alpha),
             (cw_key, train_cfg.aug_intensity, model_cfg.image_size,
-             str(dtype), train_cfg.label_smoothing))
+             str(dtype), train_cfg.label_smoothing,
+             train_cfg.mixup_alpha, train_cfg.cutmix_alpha))
 
         def run_step(state, batch, key):
             images, labels, _ = batch

@@ -53,42 +53,80 @@ def _eval_normalize(images_u8, out_size: int, dtype,
 
 
 def _loss_and_updates(state, x, labels, dropout_key, class_weights,
-                      label_smoothing: float = 0.0, dropout_rate=None):
+                      label_smoothing: float = 0.0, dropout_rate=None,
+                      labels_b=None, lam=None):
     # dropout_rate None -> the module's configured rate; a traced scalar
     # injects the rate at runtime (sweep-scale compile reuse, see
-    # Classifier._dropout)
+    # Classifier._dropout).  labels_b/lam (both or neither): mixup/CutMix
+    # two-term loss (ops/mix.py) — accuracy then reads against the
+    # dominant label of the blend.
     def loss_fn(params):
         logits, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             x, train=True, dropout_rate=dropout_rate,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_key})
-        loss = weighted_cross_entropy(logits, labels, class_weights,
-                                      label_smoothing)
+        if labels_b is None:
+            loss = weighted_cross_entropy(logits, labels, class_weights,
+                                          label_smoothing)
+        else:
+            from irp_tpu.models.classifier import \
+                mixed_weighted_cross_entropy
+            loss = mixed_weighted_cross_entropy(logits, labels, labels_b,
+                                                lam, class_weights,
+                                                label_smoothing)
         return loss, (logits, mutated)
 
     (loss, (logits, mutated)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads).replace(
         batch_stats=mutated.get("batch_stats", {}))  # ViT: no BN stats
-    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    ref_labels = labels if labels_b is None else \
+        jnp.where(lam >= 0.5, labels, labels_b)
+    acc = jnp.mean((jnp.argmax(logits, -1) == ref_labels)
+                   .astype(jnp.float32))
     return new_state, {"loss": loss, "accuracy": acc}
+
+
+def _augment_mix(images_u8, labels, key, intensity, out_size, dtype,
+                 mixup_alpha: float, cutmix_alpha: float,
+                 work_dtype=None):
+    """Shared augment -> (optional) mix -> loss-input path of every train
+    step flavor.  Returns (x, labels_a, labels_b, lam, dropout_key);
+    labels_b/lam are None when mixing is off — and the key-split arity
+    then stays 2 so existing runs' RNG streams are bit-identical."""
+    mixing = float(mixup_alpha) > 0.0 or float(cutmix_alpha) > 0.0
+    if mixing:
+        from irp_tpu.ops.mix import mix_batch
+
+        aug_key, mix_key, dropout_key = jax.random.split(key, 3)
+        x = _augment_normalize(images_u8, aug_key, intensity, out_size,
+                               dtype, work_dtype=work_dtype)
+        x, y_a, y_b, lam = mix_batch(x, labels, mix_key,
+                                     mixup_alpha, cutmix_alpha)
+        return x, y_a, y_b, lam, dropout_key
+    aug_key, dropout_key = jax.random.split(key)
+    x = _augment_normalize(images_u8, aug_key, intensity, out_size, dtype,
+                           work_dtype=work_dtype)
+    return x, labels, None, None, dropout_key
 
 
 def make_train_step(class_weights=None, intensity: str = "medium",
                     out_size: int = 224, compute_dtype=jnp.bfloat16,
-                    label_smoothing: float = 0.0):
+                    label_smoothing: float = 0.0,
+                    mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0):
     """Streaming-batch train step: (state, images_u8, labels, key)."""
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, images_u8, labels, key, dropout_rate=None):
-        aug_key, dropout_key = jax.random.split(key)
-        x = _augment_normalize(images_u8, aug_key, intensity, out_size,
-                               compute_dtype)
-        return _loss_and_updates(state, x, labels, dropout_key, cw,
-                                 label_smoothing, dropout_rate)
+        x, y_a, y_b, lam, dropout_key = _augment_mix(
+            images_u8, labels, key, intensity, out_size, compute_dtype,
+            mixup_alpha, cutmix_alpha)
+        return _loss_and_updates(state, x, y_a, dropout_key, cw,
+                                 label_smoothing, dropout_rate,
+                                 labels_b=y_b, lam=lam)
 
     return train_step
 
@@ -111,7 +149,9 @@ def _slice_batch(data_u8, labels_all, offset, per_device_batch):
 def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                         intensity: str = "medium", out_size: int = 224,
                         compute_dtype=jnp.bfloat16,
-                        label_smoothing: float = 0.0):
+                        label_smoothing: float = 0.0,
+                        mixup_alpha: float = 0.0,
+                        cutmix_alpha: float = 0.0):
     """Single HBM-resident train step.
 
     Args of the returned fn:
@@ -133,11 +173,12 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                    dropout_rate=None):
         images_u8, labels = _slice_batch(data_u8, labels_all, offset,
                                          per_device_batch)
-        aug_key, dropout_key = jax.random.split(key)
-        x = _augment_normalize(images_u8, aug_key, intensity, out_size,
-                               compute_dtype)
-        return _loss_and_updates(state, x, labels, dropout_key, cw,
-                                 label_smoothing, dropout_rate)
+        x, y_a, y_b, lam, dropout_key = _augment_mix(
+            images_u8, labels, key, intensity, out_size, compute_dtype,
+            mixup_alpha, cutmix_alpha)
+        return _loss_and_updates(state, x, y_a, dropout_key, cw,
+                                 label_smoothing, dropout_rate,
+                                 labels_b=y_b, lam=lam)
 
     return train_step
 
@@ -146,7 +187,9 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                         intensity: str = "medium", out_size: int = 224,
                         compute_dtype=jnp.bfloat16,
                         label_smoothing: float = 0.0, unroll: int = 1,
-                        aug_work_dtype=None):
+                        aug_work_dtype=None,
+                        mixup_alpha: float = 0.0,
+                        cutmix_alpha: float = 0.0):
     """Scan a whole epoch of train steps inside ONE compiled program.
 
     The single-step path is dispatch-bound on this host (~ms of Python per
@@ -169,14 +212,15 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
             step_key = jax.random.fold_in(key, i)
             images_u8, labels = _slice_batch(data_u8, labels_all, off,
                                              per_device_batch)
-            aug_key, dropout_key = jax.random.split(step_key)
-            x = _augment_normalize(images_u8, aug_key, intensity, out_size,
-                                   compute_dtype,
-                                   work_dtype=aug_work_dtype)
-            new_state, metrics = _loss_and_updates(state, x, labels,
+            x, y_a, y_b, lam, dropout_key = _augment_mix(
+                images_u8, labels, step_key, intensity, out_size,
+                compute_dtype, mixup_alpha, cutmix_alpha,
+                work_dtype=aug_work_dtype)
+            new_state, metrics = _loss_and_updates(state, x, y_a,
                                                    dropout_key, cw,
                                                    label_smoothing,
-                                                   dropout_rate)
+                                                   dropout_rate,
+                                                   labels_b=y_b, lam=lam)
             return new_state, metrics
 
         num_steps = offsets.shape[0]

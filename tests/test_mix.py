@@ -1,0 +1,194 @@
+"""mixup / CutMix: ops/mix.py math, loss composition, step integration.
+
+Beyond-reference recipe support (the reference has no batch mixing);
+everything checked on the virtual CPU mesh with tiny shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from irp_tpu.models.classifier import (mixed_weighted_cross_entropy,
+                                       weighted_cross_entropy)
+from irp_tpu.ops.mix import mix_batch
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, size=8), jnp.int32)
+    return x, y
+
+
+def test_disabled_is_identity(batch):
+    x, y = batch
+    xm, ya, yb, lam = mix_batch(x, y, jax.random.PRNGKey(0), 0.0, 0.0)
+    assert xm is x and ya is y
+    assert float(lam) == 1.0
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(y)[::-1])
+
+
+def test_mixup_is_exact_lerp_with_reversed_batch(batch):
+    x, y = batch
+    xm, ya, yb, lam = mix_batch(x, y, jax.random.PRNGKey(1),
+                                mixup_alpha=0.4)
+    lam = float(lam)
+    assert 0.0 <= lam <= 1.0
+    expect = lam * np.asarray(x) + (1 - lam) * np.asarray(x)[::-1]
+    np.testing.assert_allclose(np.asarray(xm), expect, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(y)[::-1])
+
+
+def test_mixup_lam_distribution_varies_per_key(batch):
+    x, y = batch
+    lams = {float(mix_batch(x, y, jax.random.PRNGKey(k),
+                            mixup_alpha=0.2)[3]) for k in range(8)}
+    assert len(lams) > 4  # Beta draws, not a constant
+
+
+def test_cutmix_patch_is_rectangular_and_lam_matches_area(batch):
+    x, y = batch
+    for k in range(6):
+        xm, ya, yb, lam = mix_batch(x, y, jax.random.PRNGKey(k),
+                                    cutmix_alpha=1.0)
+        xm, xs = np.asarray(xm), np.asarray(x)
+        xr = xs[::-1]
+        # provenance: every pixel comes from x or reversed-x, nothing else
+        from_other = np.isclose(xm, xr, atol=1e-6).all(axis=(0, 3))
+        from_self = np.isclose(xm, xs, atol=1e-6).all(axis=(0, 3))
+        assert (from_other | from_self).all()
+        # the patch is one axis-aligned rectangle: its row/col supports
+        # are contiguous and the patch is their outer product
+        rows = from_other.any(axis=1)
+        cols = from_other.any(axis=0)
+        if rows.any():
+            r = np.flatnonzero(rows)
+            c = np.flatnonzero(cols)
+            assert (np.diff(r) == 1).all() and (np.diff(c) == 1).all()
+            np.testing.assert_array_equal(from_other,
+                                          np.outer(rows, cols))
+        # lam re-derived from the realized patch area
+        area_frac = from_other.mean()
+        np.testing.assert_allclose(float(lam), 1.0 - area_frac, atol=1e-6)
+
+
+def test_both_alphas_picks_one_transform_per_step(batch):
+    x, y = batch
+    saw_cut = saw_mix = False
+    for k in range(12):
+        xm, _, _, _ = mix_batch(x, y, jax.random.PRNGKey(k),
+                                mixup_alpha=0.8, cutmix_alpha=1.0)
+        xm, xs = np.asarray(xm), np.asarray(x)
+        pure = (np.isclose(xm, xs, atol=1e-6) |
+                np.isclose(xm, xs[::-1], atol=1e-6)).all()
+        saw_cut |= pure
+        saw_mix |= not pure
+    assert saw_cut and saw_mix
+
+
+def test_mixed_loss_reduces_to_plain_ce_at_lam_1():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 5)), jnp.float32)
+    ya = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    yb = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    w = jnp.asarray([0.5, 1.5, 1.0, 2.0, 0.8], jnp.float32)
+    plain = weighted_cross_entropy(logits, ya, w, 0.1)
+    mixed = mixed_weighted_cross_entropy(logits, ya, yb, jnp.float32(1.0),
+                                         w, 0.1)
+    np.testing.assert_allclose(float(mixed), float(plain), rtol=1e-6)
+
+
+def test_mixed_loss_is_convex_combination():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(16, 5)), jnp.float32)
+    ya = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    yb = jnp.asarray(rng.integers(0, 5, 16), jnp.int32)
+    lam = jnp.float32(0.3)
+    got = mixed_weighted_cross_entropy(logits, ya, yb, lam)
+    want = 0.3 * float(weighted_cross_entropy(logits, ya)) + \
+        0.7 * float(weighted_cross_entropy(logits, yb))
+    np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+
+def test_train_step_with_mixing_runs_and_updates(batch):
+    """A streaming train step with mixup+cutmix produces finite loss and
+    changes trainable params; alphas=0 stays bit-identical to the
+    historical two-way key split (the RNG-stream compatibility
+    contract in step._augment_mix)."""
+    from irp_tpu.config import ModelConfig, TrainConfig
+    from irp_tpu.models import init_classifier
+    from irp_tpu.train.state import create_train_state
+    from irp_tpu.train.step import (_augment_normalize, _loss_and_updates,
+                                    make_train_step)
+
+    cfg = ModelConfig(depth=18, num_classes=4, image_size=32,
+                      dropout_rate=0.0, compute_dtype="float32")
+    model, variables = init_classifier(cfg, jax.random.PRNGKey(0), 32)
+    tcfg = TrainConfig(batch_size=8, learning_rate=1e-2)
+    images = jnp.asarray(
+        np.random.default_rng(3).integers(0, 255, (8, 40, 40, 3)), jnp.uint8)
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3], jnp.int32)
+    key = jax.random.PRNGKey(5)
+
+    def fresh_state():
+        # the jitted steps donate their TrainState; give each one its own
+        # buffer tree so `variables` stays readable
+        return create_train_state(
+            model, jax.tree_util.tree_map(jnp.copy, variables), tcfg, cfg, 1)
+
+    before = np.asarray(variables["params"]["head_dense2"]["kernel"])
+    step_mix = make_train_step(None, "low", out_size=32,
+                               compute_dtype=jnp.float32,
+                               mixup_alpha=0.4, cutmix_alpha=1.0)
+    new_state, metrics = step_mix(fresh_state(), images, labels, key)
+    assert np.isfinite(float(metrics["loss"]))
+    after = new_state.params["head_dense2"]["kernel"]
+    assert not np.allclose(before, np.asarray(after))
+
+    # disabled path: identical to the pre-mixing computation (2-way split)
+    step_off = make_train_step(None, "low", out_size=32,
+                               compute_dtype=jnp.float32)
+    got_state, got_metrics = step_off(fresh_state(), images, labels, key)
+    aug_key, dropout_key = jax.random.split(key)
+    x = _augment_normalize(images, aug_key, "low", 32, jnp.float32)
+    want_state, want_metrics = _loss_and_updates(
+        fresh_state(), x, labels, dropout_key, None)
+    # jit vs eager fusion order differs at float ulp scale; a changed key
+    # split would shift the augmentation stream and diverge by O(1)
+    np.testing.assert_allclose(np.asarray(got_metrics["loss"]),
+                               np.asarray(want_metrics["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_state.params["head_dense2"]["kernel"]),
+        np.asarray(want_state.params["head_dense2"]["kernel"]),
+        atol=1e-5)
+
+
+def test_fit_with_mixing_hbm_path(tmp_path):
+    """fit() threads mixup/cutmix into the scanned-epoch program."""
+    from tests.synth import make_synthetic_shards
+
+    from irp_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.pipeline import build_cache
+    from irp_tpu.parallel.mesh import make_mesh
+    from irp_tpu.train import fit
+
+    meta = make_synthetic_shards(str(tmp_path), num_classes=4, per_class=12,
+                                 samples_per_shard=24, seed=2, size=48)
+    info = analyze_webdataset(meta["shards"])
+    data = build_cache(meta["shards"], info.class_names,
+                       cache_dir=str(tmp_path / "cache"), size=48)
+    mcfg = ModelConfig(depth=18, num_classes=4, image_size=40,
+                       dropout_rate=0.0, compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=16, max_epochs=2, learning_rate=1e-3,
+                       train_samples_per_epoch=32, eval_samples=32,
+                       mixup_alpha=0.2, cutmix_alpha=1.0)
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    res = fit(data, data, info, mcfg, tcfg, mesh=mesh, mode="hbm")
+    assert len(res.history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in res.history["train_loss"])
