@@ -23,7 +23,8 @@ import os
 import sys
 
 from irp_tpu.cli.model_args import (add_model_family_args,
-                                    build_model_base)
+                                    add_train_recipe_args,
+                                    build_model_base, build_train_base)
 
 
 def main(argv=None):
@@ -42,6 +43,7 @@ def main(argv=None):
     p.add_argument("--pretrained", default=None,
                    help="torchvision resnet50 .pth to initialize from")
     add_model_family_args(p)
+    add_train_recipe_args(p)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
@@ -97,7 +99,9 @@ def main(argv=None):
         print("--resume requires --checkpoint-dir", file=sys.stderr)
         return 2
     result = train_final_model(study, train_cached, test_cached, info,
-                               model_base=model_base, mode=args.fit_mode,
+                               model_base=model_base,
+                               train_base=build_train_base(args),
+                               mode=args.fit_mode,
                                checkpoint_dir=args.checkpoint_dir,
                                experiment=args.experiment,
                                resume=args.resume)

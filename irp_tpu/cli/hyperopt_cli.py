@@ -19,7 +19,8 @@ import os
 import sys
 
 from irp_tpu.cli.model_args import (add_model_family_args,
-                                    build_model_base)
+                                    add_train_recipe_args,
+                                    build_model_base, build_train_base)
 
 
 def main(argv=None):
@@ -38,6 +39,7 @@ def main(argv=None):
                    help="torchvision resnet50 .pth to initialize from")
     p.add_argument("--seed", type=int, default=42)
     add_model_family_args(p)
+    add_train_recipe_args(p)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
     p.add_argument("--quick", action="store_true",
@@ -98,7 +100,9 @@ def main(argv=None):
         space_fn = quick_space
 
     ctx = HyperoptContext(cached=cached, info=info, hcfg=hcfg,
-                          model_base=model_base, space_fn=space_fn,
+                          model_base=model_base,
+                          train_base=build_train_base(args),
+                          space_fn=space_fn,
                           reuse_hbm_pool=not args.no_hbm_pool)
     run_kfold_optimization(ctx, n_trials=args.n_trials, verbose=True,
                            parallel_workers=args.parallel_workers)

@@ -59,3 +59,29 @@ def build_model_base(args, num_classes: int):
         efficientnet_variant=args.efficientnet_variant,
         num_classes=num_classes, image_size=args.image_size,
         pretrained_path=args.pretrained)
+
+
+def add_train_recipe_args(parser) -> None:
+    """Sweep-wide training-recipe knobs the hyperopt space does NOT
+    search (all off by default = reference-parity behavior)."""
+    parser.add_argument("--mixup-alpha", type=float, default=0.0,
+                        help="Beta(a,a) mixup inside the jitted train "
+                             "step (ops/mix.py); 0 = off. Standard for "
+                             "the vit/efficientnet families")
+    parser.add_argument("--cutmix-alpha", type=float, default=0.0,
+                        help="CutMix Beta(a,a); 0 = off. With both "
+                             "alphas set, a per-step fair coin picks "
+                             "the transform")
+    parser.add_argument("--label-smoothing", type=float, default=0.0,
+                        help="cross-entropy label smoothing; 0 = off")
+
+
+def build_train_base(args):
+    """TrainConfig recipe base from parsed args — the searched/best
+    hyperparameters are dataclasses.replace'd on top of it downstream
+    (hyperopt objective / train_final_model)."""
+    from irp_tpu.config import TrainConfig
+
+    return TrainConfig(mixup_alpha=args.mixup_alpha,
+                       cutmix_alpha=args.cutmix_alpha,
+                       label_smoothing=args.label_smoothing)

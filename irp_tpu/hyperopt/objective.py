@@ -50,6 +50,10 @@ class HyperoptContext:
     info: DatasetInfo
     hcfg: HyperoptConfig
     model_base: ModelConfig = ModelConfig()
+    # Base for every trial's TrainConfig: the searched hyperparameters
+    # are replaced per trial; everything else (mixup/cutmix alphas,
+    # label_smoothing, hbm_reshuffle, ...) is the sweep-wide recipe.
+    train_base: TrainConfig = TrainConfig()
     mesh: object = None
     mode: str = "hbm"
     # subsampled-epoch caps (reference train.py:19,73)
@@ -157,7 +161,12 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
 
     with tracking.start_run(
             run_name=f"optuna_trial_{trial.number}_kfold") as run:
-        run.log_params({**hp, "k_folds": k})
+        recipe = {k_: v for k_, v in
+                  (("mixup_alpha", ctx.train_base.mixup_alpha),
+                   ("cutmix_alpha", ctx.train_base.cutmix_alpha),
+                   ("label_smoothing", ctx.train_base.label_smoothing))
+                  if v}  # off-by-default knobs: log only when set
+        run.log_params({**hp, **recipe, "k_folds": k})
 
         fold_accuracies: List[float] = []
         epoch_accuracies: Dict[int, List[float]] = {}
@@ -230,7 +239,11 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 ctx.model_base,
                 num_classes=ctx.info.num_classes,
                 dropout_rate=hp["dropout_rate"])
-            train_cfg = TrainConfig(
+            # dataclasses.replace over ctx.train_base for the same
+            # reason: recipe fields outside the search space (mixing,
+            # label smoothing, ...) ride through untouched.
+            train_cfg = dataclasses.replace(
+                ctx.train_base,
                 learning_rate=hp["learning_rate"],
                 weight_decay=hp["weight_decay"],
                 batch_size=hp["batch_size"],

@@ -104,6 +104,7 @@ def visualize_classifications(preds: np.ndarray, labels: np.ndarray,
 def train_final_model(study, train_cached: CachedDataset,
                       test_cached: CachedDataset, info: DatasetInfo,
                       model_base: ModelConfig = ModelConfig(),
+                      train_base: TrainConfig = TrainConfig(),
                       mesh=None, mode: str = "hbm",
                       epochs_factor: float = 1.2,
                       checkpoint_dir: Optional[str] = None,
@@ -115,6 +116,10 @@ def train_final_model(study, train_cached: CachedDataset,
     ``epochs_factor`` is accepted for parity with the reference signature
     (final.py:158) — the reference accepts it but trains exactly
     ``recommended_epochs``; we do the same.
+
+    ``train_base`` seeds every TrainConfig field the study does not
+    search (mixup/cutmix alphas, label_smoothing, hbm_reshuffle, ...);
+    the best trial's hyperparameters are replaced on top of it.
 
     ``resume=True`` (requires ``checkpoint_dir``) continues a killed run
     from its latest per-epoch Orbax checkpoint — full TrainState, so Adam
@@ -143,7 +148,10 @@ def train_final_model(study, train_cached: CachedDataset,
     model_cfg = dataclasses.replace(
         model_base, num_classes=info.num_classes,
         dropout_rate=bp.get("dropout_rate", model_base.dropout_rate))
-    train_cfg = TrainConfig(
+    # Same pattern over train_base: recipe fields the study doesn't
+    # search (mixup/cutmix alphas, label_smoothing, ...) carry through.
+    train_cfg = dataclasses.replace(
+        train_base,
         learning_rate=bp["learning_rate"],
         weight_decay=bp["weight_decay"],
         batch_size=bp["batch_size"],
@@ -160,7 +168,12 @@ def train_final_model(study, train_cached: CachedDataset,
         # bn_stats_mode changes frozen-stage BN numerics ('all' = torch
         # .train() parity, 'trainable_only' = faster inference-form BN);
         # log it so any accuracy number is attributable to its mode.
-        run.log_params({**bp, "final_epochs": final_epochs,
+        recipe = {k: v for k, v in
+                  (("mixup_alpha", train_cfg.mixup_alpha),
+                   ("cutmix_alpha", train_cfg.cutmix_alpha),
+                   ("label_smoothing", train_cfg.label_smoothing))
+                  if v}  # off-by-default knobs: log only when set
+        run.log_params({**bp, **recipe, "final_epochs": final_epochs,
                         "mode": mode,
                         "bn_stats_mode": model_cfg.bn_stats_mode})
 

@@ -192,3 +192,132 @@ def test_fit_with_mixing_hbm_path(tmp_path):
     res = fit(data, data, info, mcfg, tcfg, mesh=mesh, mode="hbm")
     assert len(res.history["train_loss"]) == 2
     assert all(np.isfinite(v) for v in res.history["train_loss"])
+
+
+def test_recipe_cli_args_build_train_base():
+    """--mixup-alpha/--cutmix-alpha/--label-smoothing land in the
+    TrainConfig recipe base; defaults stay reference-parity off."""
+    import argparse
+
+    from irp_tpu.cli.model_args import (add_train_recipe_args,
+                                        build_train_base)
+
+    p = argparse.ArgumentParser()
+    add_train_recipe_args(p)
+    base = build_train_base(p.parse_args(
+        ["--mixup-alpha", "0.2", "--cutmix-alpha", "1.0",
+         "--label-smoothing", "0.1"]))
+    assert base.mixup_alpha == 0.2
+    assert base.cutmix_alpha == 1.0
+    assert base.label_smoothing == 0.1
+    off = build_train_base(p.parse_args([]))
+    assert (off.mixup_alpha, off.cutmix_alpha, off.label_smoothing) == \
+        (0.0, 0.0, 0.0)
+
+
+def test_train_base_threads_through_sweep(monkeypatch, tmp_path):
+    """HyperoptContext.train_base recipe fields (mixing, smoothing) reach
+    every per-trial TrainConfig via dataclasses.replace, and nonzero
+    knobs are logged on the trial's tracking run."""
+    from tests.synth import make_synthetic_shards
+
+    from irp_tpu import tracking
+    from irp_tpu.config import (HyperoptConfig, ModelConfig, TrainConfig)
+    from irp_tpu.data.analyze import analyze_webdataset
+    from irp_tpu.data.pipeline import build_cache
+    import irp_tpu.hyperopt.objective as objective_mod
+    from irp_tpu.hyperopt import HyperoptContext, run_kfold_optimization
+
+    meta = make_synthetic_shards(str(tmp_path), num_classes=3, per_class=8,
+                                 samples_per_shard=12, seed=0, size=32)
+    info = analyze_webdataset(meta["shards"])
+    cached = build_cache(meta["shards"], info.class_names,
+                         cache_dir=str(tmp_path / "cache"), size=32)
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    tracking.set_experiment("mix_recipe_sweep")
+
+    captured = []
+
+    class _FakeResult:
+        best_val_acc = 50.0
+
+    def fake_fit(train_cached, val_cached, info_, model_cfg, train_cfg,
+                 **kw):
+        captured.append(train_cfg)
+        if kw.get("on_epoch_end") is not None:
+            kw["on_epoch_end"](0, 50.0)
+        return _FakeResult()
+
+    monkeypatch.setattr(objective_mod, "fit", fake_fit)
+    base = TrainConfig(mixup_alpha=0.2, cutmix_alpha=1.0,
+                       label_smoothing=0.05)
+    hcfg = HyperoptConfig(n_trials=1, k_folds=2, first_fold_min_acc=0.0,
+                          storage=str(tmp_path / "s.db"),
+                          study_name="mix", seed=0)
+    ctx = HyperoptContext(
+        cached=cached, info=info, hcfg=hcfg,
+        model_base=ModelConfig(depth=18, num_classes=3, image_size=32,
+                               compute_dtype="float32"),
+        train_base=base, mode="stream", reuse_hbm_pool=False)
+    study = run_kfold_optimization(ctx, n_trials=1, verbose=False)
+    assert len(captured) == 2  # one fake fit per fold
+    for cfg in captured:
+        assert cfg.mixup_alpha == 0.2
+        assert cfg.cutmix_alpha == 1.0
+        assert cfg.label_smoothing == 0.05
+        # searched fields still come from the trial, not the base
+        assert cfg.batch_size in (8, 16, 32)
+
+    run_id = study.best_trial.user_attrs["tracking_run_id"]
+    params = tracking.TrackingClient().get_run(run_id)["params"]
+    assert float(params["mixup_alpha"]) == 0.2
+    assert float(params["cutmix_alpha"]) == 1.0
+
+
+def test_train_base_threads_through_final(monkeypatch, tmp_path):
+    """train_final_model(train_base=...) seeds the final TrainConfig's
+    recipe fields while the best trial's searched values win."""
+    import irp_tpu.train.final as final_mod
+    from irp_tpu import tracking
+    from irp_tpu.config import TrainConfig
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+
+    class _FakeTrial:
+        params = {"max_epochs": 4, "learning_rate": 1e-3,
+                  "weight_decay": 1e-4, "batch_size": 8,
+                  "dropout_rate": 0.1, "augmentation_intensity": "low",
+                  "patience": 3}
+        user_attrs = {}
+
+    class _FakeStudy:
+        best_trial = _FakeTrial()
+
+        def get_trials(self):
+            return [self.best_trial]
+
+    class _Stop(RuntimeError):
+        pass
+
+    captured = []
+
+    def fake_fit(train_cached, val_cached, info_, model_cfg, train_cfg,
+                 **kw):
+        captured.append(train_cfg)
+        raise _Stop()
+
+    monkeypatch.setattr(final_mod, "fit", fake_fit)
+    base = TrainConfig(mixup_alpha=0.4, label_smoothing=0.1)
+    import types
+
+    info = types.SimpleNamespace(num_classes=3)
+    with pytest.raises(_Stop):
+        final_mod.train_final_model(
+            _FakeStudy(), None, None, info, train_base=base,
+            experiment="mix_recipe_final", verbose=False)
+    (cfg,) = captured
+    assert cfg.mixup_alpha == 0.4
+    assert cfg.cutmix_alpha == 0.0
+    assert cfg.label_smoothing == 0.1
+    assert cfg.learning_rate == 1e-3  # searched value wins over the base
+    assert cfg.scheduler_step == "epoch"  # final-stage quirk preserved
