@@ -152,6 +152,10 @@ def main():
 
     bn_mode = os.environ.get("BENCH_BN_MODE", "trainable_only")
     remat = os.environ.get("BENCH_REMAT") == "1"
+    # BENCH_MIXUP_ALPHA / BENCH_CUTMIX_ALPHA bench the batch-mixing recipe
+    # (ops/mix.py); the driver contract (no env) stays mixing-off.
+    mixup_alpha = float(os.environ.get("BENCH_MIXUP_ALPHA", "0"))
+    cutmix_alpha = float(os.environ.get("BENCH_CUTMIX_ALPHA", "0"))
     _PHASE = "backend-init"
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
@@ -202,7 +206,9 @@ def main():
     step = make_hbm_epoch_step(mesh, sampler.per_device, class_weights=None,
                                intensity=intensity, out_size=224,
                                compute_dtype=jnp.bfloat16, unroll=unroll,
-                               aug_work_dtype=aug_dtype)
+                               aug_work_dtype=aug_dtype,
+                               mixup_alpha=mixup_alpha,
+                               cutmix_alpha=cutmix_alpha)
 
     key = jax.random.PRNGKey(1)
     # Warmup: compile + first execution (the first run of a fresh
@@ -296,6 +302,8 @@ def main():
         "family": _FAMILY,
         "bn_stats_mode": bn_mode,
         "remat_trainable_blocks": remat,
+        "mixup_alpha": mixup_alpha,
+        "cutmix_alpha": cutmix_alpha,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
     import math

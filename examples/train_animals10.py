@@ -101,6 +101,8 @@ def main(argv=None):
                         "inference-form frozen BN, ~28%% faster "
                         "(BENCH.md) but numerically different training "
                         "trajectories")
+    from irp_tpu.cli.model_args import add_train_recipe_args
+    add_train_recipe_args(p)
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the trainable-stage blocks: "
                         "backward recomputes activations instead of "
@@ -198,14 +200,18 @@ def main(argv=None):
         from irp_tpu.hyperopt.objective import quick_space
         space_fn = quick_space
 
+    from irp_tpu.cli.model_args import build_train_base
+    train_base = build_train_base(args)
     ctx = HyperoptContext(cached=train_cached, info=info, hcfg=hcfg,
-                          model_base=model_base, space_fn=space_fn)
+                          model_base=model_base, train_base=train_base,
+                          space_fn=space_fn)
     study = run_kfold_optimization(
         ctx, n_trials=n_trials, verbose=True,
         parallel_workers=args.parallel_workers)
 
     result = train_final_model(
         study, train_cached, test_cached, info, model_base=model_base,
+        train_base=train_base,
         checkpoint_dir=os.path.join(args.work_dir, "checkpoints"))
     if result is None:
         return 1
