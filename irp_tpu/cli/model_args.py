@@ -74,6 +74,11 @@ def add_train_recipe_args(parser) -> None:
                              "the transform")
     parser.add_argument("--label-smoothing", type=float, default=0.0,
                         help="cross-entropy label smoothing; 0 = off")
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="exponential moving average of the weights "
+                             "(per-step, inside the compiled train step); "
+                             "val/best/returned weights use the EMA tree. "
+                             "0 = off; typical 0.999-0.9999")
 
 
 def build_train_base(args):
@@ -84,4 +89,5 @@ def build_train_base(args):
 
     return TrainConfig(mixup_alpha=args.mixup_alpha,
                        cutmix_alpha=args.cutmix_alpha,
-                       label_smoothing=args.label_smoothing)
+                       label_smoothing=args.label_smoothing,
+                       ema_decay=args.ema_decay)

@@ -175,6 +175,15 @@ class TrainConfig:
     # both are set, a per-step fair coin picks the transform.
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
+    # Exponential moving average of the weights (beyond-reference recipe;
+    # standard for ViT/EfficientNet training).  decay > 0 tracks
+    # ema = decay*ema + (1-decay)*params after every optimizer step as one
+    # fused on-device tree update inside the compiled train step (the EMA
+    # tree rides in opt_state, so it scans/donates/checkpoints for free);
+    # validation, best-snapshotting, and the returned weights then use the
+    # EMA tree.  0.0 = off (reference behavior; opt_state structure is
+    # unchanged, so existing checkpoints restore bit-identically).
+    ema_decay: float = 0.0
     # Re-permute each device's HBM-resident local shard every epoch
     # (on-device gather, no re-upload) so batch composition re-randomizes
     # like the reference's per-epoch shard-shuffle + 1000-buffer

@@ -164,7 +164,8 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
         recipe = {k_: v for k_, v in
                   (("mixup_alpha", ctx.train_base.mixup_alpha),
                    ("cutmix_alpha", ctx.train_base.cutmix_alpha),
-                   ("label_smoothing", ctx.train_base.label_smoothing))
+                   ("label_smoothing", ctx.train_base.label_smoothing),
+                   ("ema_decay", ctx.train_base.ema_decay))
                   if v}  # off-by-default knobs: log only when set
         run.log_params({**hp, **recipe, "k_folds": k})
 

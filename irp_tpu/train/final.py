@@ -171,7 +171,8 @@ def train_final_model(study, train_cached: CachedDataset,
         recipe = {k: v for k, v in
                   (("mixup_alpha", train_cfg.mixup_alpha),
                    ("cutmix_alpha", train_cfg.cutmix_alpha),
-                   ("label_smoothing", train_cfg.label_smoothing))
+                   ("label_smoothing", train_cfg.label_smoothing),
+                   ("ema_decay", train_cfg.ema_decay))
                   if v}  # off-by-default knobs: log only when set
         run.log_params({**bp, **recipe, "final_epochs": final_epochs,
                         "mode": mode,

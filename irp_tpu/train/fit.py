@@ -315,11 +315,26 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                                         compute_dtype=dtype),
             (mesh, hbm_eval.per_device, model_cfg.image_size, str(dtype)))
 
+    # EMA recipe: validation, best-snapshotting, and the returned weights
+    # all use the EMA tree the optimizer tracks in opt_state (state.py
+    # _params_ema); the raw params keep training underneath.
+    use_ema = float(train_cfg.ema_decay) > 0.0
+
+    def eval_view(state):
+        if use_ema:
+            from irp_tpu.train.state import ema_params
+
+            ema = ema_params(state)
+            if ema is not None:
+                return state.replace(params=ema)
+        return state
+
     def eval_fn(state):
         if val_cached is None or len(val_cached) == 0:
             # no validation set: train_model skips early stopping and
             # best-weight restore (the last epoch's weights are final)
             return None
+        state = eval_view(state)
         if hbm_eval is not None:
             from irp_tpu.train.loop import evaluate_hbm
 
@@ -330,11 +345,18 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                         max_samples=train_cfg.eval_samples,
                         class_weights=cw)
 
+    from irp_tpu.train.loop import snapshot_weights
+
     state, history, best = train_model(
         state, run_epoch, eval_fn, train_cfg.max_epochs,
         patience=train_cfg.patience, logger=logger,
         on_epoch_end=on_epoch_end, verbose=verbose,
-        start_epoch=start_epoch)
+        start_epoch=start_epoch,
+        snapshot_fn=lambda s: snapshot_weights(eval_view(s)))
+
+    if use_ema and (val_cached is None or len(val_cached) == 0):
+        # no-val runs get no best-restore; hand back the final EMA weights
+        state = eval_view(state)
 
     return FitResult(state=state, history=history, best_val_acc=best,
                      steps_per_epoch=steps_per_epoch, mesh=mesh,

@@ -153,7 +153,8 @@ def _accepts_state(cb) -> bool:
 def train_model(state, run_epoch: Callable, eval_fn: Callable,
                 max_epochs: int, patience: int = 4,
                 logger=None, on_epoch_end: Optional[Callable] = None,
-                verbose: bool = False, start_epoch: int = 0):
+                verbose: bool = False, start_epoch: int = 0,
+                snapshot_fn: Callable = snapshot_weights):
     """Early-stopped multi-epoch fit (reference train.py:111-189).
 
     ``run_epoch(state, epoch) -> (state, train_loss, train_acc_pct)``
@@ -166,6 +167,9 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
     ``start_epoch``: resume point — the loop runs epochs
     [start_epoch, max_epochs); pass a state restored from a checkpoint
     (net-new over the reference, which has no mid-run resume, SURVEY §5).
+    ``snapshot_fn(state) -> (params, batch_stats)`` overrides which
+    weights the best-epoch snapshot captures (fit() passes the EMA tree
+    when TrainConfig.ema_decay > 0); must stay ``restore_weights``-shaped.
     Returns (state_with_best_weights, history, best_val_acc).
     """
     history = {"train_loss": [], "train_acc": [], "val_loss": [],
@@ -198,7 +202,7 @@ def train_model(state, run_epoch: Callable, eval_fn: Callable,
         if val is not None:
             if val.accuracy > best_val_acc:
                 best_val_acc = val.accuracy
-                best_snapshot = snapshot_weights(state)
+                best_snapshot = snapshot_fn(state)
                 no_improve = 0
             else:
                 no_improve += 1

@@ -21,7 +21,7 @@ bucket, not per trial.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +95,49 @@ def _onecycle_shape(total_steps: int, steps_per_epoch: int,
     return base
 
 
+class EmaState(NamedTuple):
+    """Optimizer-chain slot holding the EMA weight tree (see _params_ema)."""
+
+    ema: Any
+
+
+def _params_ema(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the POST-update param tree.
+
+    Appended after the masked update chain, so ``params + updates`` here is
+    exactly the tree ``apply_gradients`` will produce.  The full tree is
+    tracked (one extra params-sized HBM buffer): frozen leaves receive
+    exact-zero updates from the ``set_to_zero`` stage, so their EMA stays
+    bitwise equal to the weights at no arithmetic risk, and the tree keeps
+    one uniform structure.  Updates pass through unchanged.
+    """
+    decay = float(decay)
+
+    def init_fn(params):
+        # jnp.copy, not asarray: the EMA tree must own its buffers — an
+        # aliased init would be the params donated twice into the step
+        return EmaState(ema=jax.tree_util.tree_map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("_params_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e + (1.0 - decay) * (p - e), state.ema, new_params)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(state) -> Any:
+    """The EMA weight tree tracked in ``state.opt_state``, or None when
+    EMA is off (TrainConfig.ema_decay == 0)."""
+    for comp in state.opt_state:
+        if isinstance(comp, EmaState):
+            return comp.ema
+    return None
+
+
 # GradientTransformations memoized on their structural key so TrainState.tx
 # (static jit aux) compares equal across fit() calls and the compiled step
 # is reused; lr/wd vary per trial as injected runtime values.
@@ -113,7 +156,8 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
     # trainable stages per family ('layer4' auto-maps for ViT).
     key = (total, steps_per_epoch, train_cfg.scheduler_step,
            model_cfg.trainable_stages, model_cfg.head_only,
-           model_cfg.family, model_cfg.num_layers)
+           model_cfg.family, model_cfg.num_layers,
+           float(train_cfg.ema_decay))
     tx = _TX_MEMO.get(key)
     if tx is None:
         shape = _onecycle_shape(total, steps_per_epoch,
@@ -140,10 +184,13 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
         # grads); frozen params get exact zeros via the second stage so
         # the freeze contract holds even if a caller feeds nonzero
         # gradients for frozen leaves.
-        tx = optax.chain(
+        parts = [
             optax.masked(inner, mask_fn),
             optax.masked(optax.set_to_zero(), inverse_mask_fn),
-        )
+        ]
+        if float(train_cfg.ema_decay) > 0.0:
+            parts.append(_params_ema(train_cfg.ema_decay))
+        tx = optax.chain(*parts)
         _TX_MEMO[key] = tx
     return tx
 
