@@ -169,8 +169,9 @@ class TrainConfig:
     label_smoothing: float = 0.0
     # Batch mixing (beyond-reference recipe support; standard for the ViT /
     # EfficientNet families): Beta(alpha, alpha) mixup and/or CutMix inside
-    # the jitted step (ops/mix.py — reversed-batch pairing, shard-local
-    # under data parallelism).  0.0 = off (reference behavior, and the
+    # the jitted step (ops/mix.py — shard-local reversed-batch pairing:
+    # each device pairs within its own slice of the 'data'-sharded batch,
+    # no cross-chip traffic).  0.0 = off (reference behavior, and the
     # step's RNG streams stay bit-identical to pre-mixing builds).  When
     # both are set, a per-step fair coin picks the transform.
     mixup_alpha: float = 0.0

@@ -249,6 +249,7 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
             return state, loss, acc
     elif mode == "stream":
         cw_key = tuple(cw.tolist()) if cw is not None else None
+        data_shards = dict(mesh.shape).get("data", 1)
         step = _memo_step(
             "stream",
             lambda: make_train_step(
@@ -256,10 +257,11 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                 out_size=model_cfg.image_size, compute_dtype=dtype,
                 label_smoothing=train_cfg.label_smoothing,
                 mixup_alpha=train_cfg.mixup_alpha,
-                cutmix_alpha=train_cfg.cutmix_alpha),
+                cutmix_alpha=train_cfg.cutmix_alpha,
+                data_shards=data_shards),
             (cw_key, train_cfg.aug_intensity, model_cfg.image_size,
              str(dtype), train_cfg.label_smoothing,
-             train_cfg.mixup_alpha, train_cfg.cutmix_alpha))
+             train_cfg.mixup_alpha, train_cfg.cutmix_alpha, data_shards))
 
         def run_step(state, batch, key):
             images, labels, _ = batch

@@ -90,11 +90,13 @@ def _loss_and_updates(state, x, labels, dropout_key, class_weights,
 
 def _augment_mix(images_u8, labels, key, intensity, out_size, dtype,
                  mixup_alpha: float, cutmix_alpha: float,
-                 work_dtype=None):
+                 work_dtype=None, data_shards: int = 1):
     """Shared augment -> (optional) mix -> loss-input path of every train
     step flavor.  Returns (x, labels_a, labels_b, lam, dropout_key);
     labels_b/lam are None when mixing is off — and the key-split arity
-    then stays 2 so existing runs' RNG streams are bit-identical."""
+    then stays 2 so existing runs' RNG streams are bit-identical.
+    ``data_shards`` (the mesh's 'data'-axis size) keeps the mixing
+    pairing shard-local — see ops.mix._partner."""
     mixing = float(mixup_alpha) > 0.0 or float(cutmix_alpha) > 0.0
     if mixing:
         from irp_tpu.ops.mix import mix_batch
@@ -103,7 +105,8 @@ def _augment_mix(images_u8, labels, key, intensity, out_size, dtype,
         x = _augment_normalize(images_u8, aug_key, intensity, out_size,
                                dtype, work_dtype=work_dtype)
         x, y_a, y_b, lam = mix_batch(x, labels, mix_key,
-                                     mixup_alpha, cutmix_alpha)
+                                     mixup_alpha, cutmix_alpha,
+                                     num_shards=data_shards)
         return x, y_a, y_b, lam, dropout_key
     aug_key, dropout_key = jax.random.split(key)
     x = _augment_normalize(images_u8, aug_key, intensity, out_size, dtype,
@@ -114,8 +117,13 @@ def _augment_mix(images_u8, labels, key, intensity, out_size, dtype,
 def make_train_step(class_weights=None, intensity: str = "medium",
                     out_size: int = 224, compute_dtype=jnp.bfloat16,
                     label_smoothing: float = 0.0,
-                    mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0):
-    """Streaming-batch train step: (state, images_u8, labels, key)."""
+                    mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0,
+                    data_shards: int = 1):
+    """Streaming-batch train step: (state, images_u8, labels, key).
+
+    ``data_shards``: the mesh's 'data'-axis size when the incoming batch
+    is sharded over it (fit's stream mode) — keeps mixup/CutMix pairing
+    shard-local (no collective-permute)."""
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
@@ -123,7 +131,7 @@ def make_train_step(class_weights=None, intensity: str = "medium",
     def train_step(state, images_u8, labels, key, dropout_rate=None):
         x, y_a, y_b, lam, dropout_key = _augment_mix(
             images_u8, labels, key, intensity, out_size, compute_dtype,
-            mixup_alpha, cutmix_alpha)
+            mixup_alpha, cutmix_alpha, data_shards=data_shards)
         return _loss_and_updates(state, x, y_a, dropout_key, cw,
                                  label_smoothing, dropout_rate,
                                  labels_b=y_b, lam=lam)
@@ -167,6 +175,7 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
+    data_shards = dict(mesh.shape).get("data", 1)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, data_u8, labels_all, offset, key,
@@ -175,7 +184,7 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                                          per_device_batch)
         x, y_a, y_b, lam, dropout_key = _augment_mix(
             images_u8, labels, key, intensity, out_size, compute_dtype,
-            mixup_alpha, cutmix_alpha)
+            mixup_alpha, cutmix_alpha, data_shards=data_shards)
         return _loss_and_updates(state, x, y_a, dropout_key, cw,
                                  label_smoothing, dropout_rate,
                                  labels_b=y_b, lam=lam)
@@ -203,6 +212,7 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
+    data_shards = dict(mesh.shape).get("data", 1)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_step(state, data_u8, labels_all, offsets, key,
@@ -215,7 +225,7 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
             x, y_a, y_b, lam, dropout_key = _augment_mix(
                 images_u8, labels, step_key, intensity, out_size,
                 compute_dtype, mixup_alpha, cutmix_alpha,
-                work_dtype=aug_work_dtype)
+                work_dtype=aug_work_dtype, data_shards=data_shards)
             new_state, metrics = _loss_and_updates(state, x, y_a,
                                                    dropout_key, cw,
                                                    label_smoothing,
