@@ -181,9 +181,12 @@ class TrainConfig:
     # ema = decay*ema + (1-decay)*params after every optimizer step as one
     # fused on-device tree update inside the compiled train step (the EMA
     # tree rides in opt_state, so it scans/donates/checkpoints for free);
-    # validation, best-snapshotting, and the returned weights then use the
-    # EMA tree.  0.0 = off (reference behavior; opt_state structure is
-    # unchanged, so existing checkpoints restore bit-identically).
+    # BN families also track an EMA of the running statistics
+    # (TrainState.ema_batch_stats, timm-ModelEma semantics) so the eval
+    # view never pairs averaged params with un-averaged buffers.
+    # Validation, best-snapshotting, and the returned weights then use
+    # the EMA trees.  0.0 = off (reference behavior; opt_state structure
+    # is unchanged, so existing checkpoints restore bit-identically).
     ema_decay: float = 0.0
     # Re-permute each device's HBM-resident local shard every epoch
     # (on-device gather, no re-upload) so batch composition re-randomizes

@@ -81,6 +81,10 @@ def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> str:
     payload = {"params": state.params, "batch_stats": state.batch_stats,
                "opt_state": state.opt_state,
                "step": np.asarray(state.step)}
+    if getattr(state, "ema_batch_stats", None) is not None:
+        # key present only when tracked: decay=0 checkpoints keep the
+        # legacy payload structure bit-for-bit
+        payload["ema_batch_stats"] = state.ema_batch_stats
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
@@ -113,7 +117,28 @@ def restore_checkpoint(path: str, state):
     template = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state,
                 "step": np.asarray(state.step)}
-    restored = ckptr.restore(path, template)
+    has_ema_stats = getattr(state, "ema_batch_stats", None) is not None
+    if has_ema_stats:
+        template["ema_batch_stats"] = state.ema_batch_stats
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception:
+        if not has_ema_stats:
+            raise
+        # Pre-round-4 EMA checkpoint without the ema_batch_stats key:
+        # restore the rest and seed the stats EMA from the live stats
+        # (the resumed EMA re-converges at the decay's time constant).
+        import warnings
+
+        template.pop("ema_batch_stats")
+        restored = ckptr.restore(path, template)
+        warnings.warn(
+            "checkpoint has no ema_batch_stats; seeding the BN-stats "
+            "EMA from the restored running stats", stacklevel=2)
+        restored["ema_batch_stats"] = jax.tree_util.tree_map(
+            np.copy, restored["batch_stats"])
+        # re-add for the placement pass below (leaves pair 1:1)
+        template["ema_batch_stats"] = state.ema_batch_stats
 
     # Orbax restores leaves COMMITTED to device 0; the train step's other
     # inputs carry mesh (NamedSharding) placements and jit rejects the
@@ -128,10 +153,13 @@ def restore_checkpoint(path: str, state):
         return np.asarray(r)
 
     restored = jax.tree_util.tree_map(_place, restored, template)
-    return state.replace(params=restored["params"],
-                         batch_stats=restored["batch_stats"],
-                         opt_state=restored["opt_state"],
-                         step=restored["step"])
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=restored["step"])
+    if has_ema_stats:
+        state = state.replace(ema_batch_stats=restored["ema_batch_stats"])
+    return state
 
 
 def export_torch_pth(path: str, params, batch_stats, depth: int = 50) -> str:

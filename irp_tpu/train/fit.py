@@ -319,7 +319,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
 
     # EMA recipe: validation, best-snapshotting, and the returned weights
     # all use the EMA tree the optimizer tracks in opt_state (state.py
-    # _params_ema); the raw params keep training underneath.
+    # _params_ema) PAIRED with the EMA of the BN running statistics
+    # (TrainState.ema_batch_stats — averaged params with un-averaged
+    # buffers would be a normalization mismatch); the raw params keep
+    # training underneath.
     use_ema = float(train_cfg.ema_decay) > 0.0
 
     def eval_view(state):
@@ -328,7 +331,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
 
             ema = ema_params(state)
             if ema is not None:
-                return state.replace(params=ema)
+                state = state.replace(params=ema)
+                if state.ema_batch_stats is not None:
+                    state = state.replace(
+                        batch_stats=state.ema_batch_stats)
         return state
 
     def eval_fn(state):

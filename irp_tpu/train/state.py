@@ -38,6 +38,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # EMA of the BN running statistics, tracked alongside the param EMA
+    # (_params_ema) so the eval view pairs averaged params with averaged
+    # buffers — timm-ModelEma semantics; None when EMA is off or the
+    # family has no batch_stats (ViT).  ema_decay is static aux data
+    # (a per-fit constant baked into the compiled step).
+    ema_batch_stats: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
@@ -45,6 +52,17 @@ class TrainState(struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state)
+
+    def with_batch_stats(self, new_stats):
+        """Replace batch_stats, advancing their EMA when tracked (the
+        batch_stats counterpart of the _params_ema chain slot)."""
+        if self.ema_batch_stats is None:
+            return self.replace(batch_stats=new_stats)
+        d = float(self.ema_decay)
+        ema = jax.tree_util.tree_map(
+            lambda e, b: e + (1.0 - d) * (b - e),
+            self.ema_batch_stats, new_stats)
+        return self.replace(batch_stats=new_stats, ema_batch_stats=ema)
 
     @property
     def variables(self):
@@ -219,11 +237,19 @@ def create_train_state(model, variables, train_cfg: TrainConfig,
     opt_state = set_opt_hyperparams(tx.init(variables["params"]),
                                     train_cfg.learning_rate,
                                     train_cfg.weight_decay)
+    batch_stats = variables.get("batch_stats", {})  # ViT: no BN stats
+    decay = float(train_cfg.ema_decay)
+    ema_batch_stats = None
+    if decay > 0.0 and jax.tree_util.tree_leaves(batch_stats):
+        # own buffers, like _params_ema's init (donation safety)
+        ema_batch_stats = jax.tree_util.tree_map(jnp.copy, batch_stats)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),  # ViT: no BN stats
+        batch_stats=batch_stats,
         opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,
+        ema_batch_stats=ema_batch_stats,
+        ema_decay=decay if ema_batch_stats is not None else 0.0,
     )

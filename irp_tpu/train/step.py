@@ -79,8 +79,8 @@ def _loss_and_updates(state, x, labels, dropout_key, class_weights,
 
     (loss, (logits, mutated)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
-    new_state = state.apply_gradients(grads).replace(
-        batch_stats=mutated.get("batch_stats", {}))  # ViT: no BN stats
+    new_state = state.apply_gradients(grads).with_batch_stats(
+        mutated.get("batch_stats", {}))  # ViT: no BN stats; EMA advances
     ref_labels = labels if labels_b is None else \
         jnp.where(lam >= 0.5, labels, labels_b)
     acc = jnp.mean((jnp.argmax(logits, -1) == ref_labels)
