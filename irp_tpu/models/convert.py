@@ -96,8 +96,16 @@ def _is_vit_state_dict(state_dict) -> bool:
 
 
 def _is_efficientnet_state_dict(state_dict) -> bool:
-    # torchvision efficientnet_b* backbones live entirely under
-    # ``features.`` (ResNet uses conv1/layer*, ViT class_token/encoder.)
+    # torchvision efficientnet_b* backbones live under ``features.`` —
+    # but so do VGG/DenseNet/MobileNet/ConvNeXt.  Require the MBConv
+    # submodule layout (``features.<s>.<j>.block.<k>.``), which is
+    # EfficientNet-specific, so unsupported features.-family checkpoints
+    # get a clear error (below) instead of MBConv-mapping KeyErrors.
+    return any(re.match(r"^features\.\d+\.\d+\.block\.", _strip_prefix(k))
+               for k in state_dict)
+
+
+def _has_features_prefix(state_dict) -> bool:
     return any(_strip_prefix(k).startswith("features.")
                for k in state_dict)
 
@@ -286,6 +294,17 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
         return _vit_state_dict_to_variables(state_dict)
     if _is_efficientnet_state_dict(state_dict):
         return _efficientnet_state_dict_to_variables(state_dict)
+    if _has_features_prefix(state_dict):
+        # features.-prefixed but not MBConv-shaped: some other torchvision
+        # family (VGG / DenseNet / MobileNet / ConvNeXt / ...) — name the
+        # heuristic instead of failing deep inside a family converter
+        raise ValueError(
+            "state_dict has 'features.'-prefixed keys but no EfficientNet "
+            "MBConv layout ('features.<s>.<j>.block.<k>.'): this looks "
+            "like an unsupported torchvision family (e.g. VGG, DenseNet, "
+            "MobileNet, ConvNeXt). Supported families: ResNet/ResNeXt/"
+            "Wide-ResNet (conv1/layer*), ViT (class_token/encoder.*), "
+            "EfficientNet (features.*.*.block.*)")
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
         mapped = torch_key_to_flax(key)

@@ -239,6 +239,27 @@ def test_fused_frozen_blocks_on_rejected():
 
 # ----------------------------------------------------- torch interchange
 
+def test_non_mbconv_features_state_dict_gets_clear_error():
+    """ADVICE r3: VGG/DenseNet/MobileNet/ConvNeXt also use a 'features.'
+    layout — they must raise a named unsupported-family error, not a
+    misleading EfficientNet key error deep in the MBConv mapper."""
+    import numpy as np
+
+    vgg_like = {  # torchvision VGG layout: features.<idx>.<weight|bias>
+        "features.0.weight": np.zeros((64, 3, 3, 3), np.float32),
+        "features.0.bias": np.zeros((64,), np.float32),
+        "classifier.0.weight": np.zeros((4096, 25088), np.float32),
+    }
+    with pytest.raises(ValueError, match="unsupported torchvision family"):
+        torch_state_dict_to_variables(vgg_like)
+    # an MBConv-shaped key still routes to the EfficientNet converter
+    from irp_tpu.models.convert import _is_efficientnet_state_dict
+
+    assert _is_efficientnet_state_dict(
+        {"features.1.0.block.0.0.weight": None})
+    assert not _is_efficientnet_state_dict(vgg_like)
+
+
 def test_torch_fidelity_and_round_trip(eff_model):
     """Flax forward vs the torchvision-layout torch EfficientNet with the
     SAME weights (1e-3 bar; depthwise/SE/projection transposes and the
