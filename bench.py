@@ -37,14 +37,15 @@ BASELINE_IMGS_PER_SEC = 5000.0
 _T0 = time.monotonic()
 _BUDGET = float(os.environ.get("BENCH_BUDGET_SECS", "3300"))
 _PHASE = "startup"
-# BENCH_FAMILY=vit / efficientnet benches those families
-# (BENCH_VIT_VARIANT default b_16, BENCH_EFFICIENTNET_VARIANT default b0)
-# through the same harness; the driver contract (no env) stays the
-# flagship ResNet50.
+# BENCH_FAMILY=vit / efficientnet / convnext benches those families
+# (BENCH_VIT_VARIANT default b_16, BENCH_EFFICIENTNET_VARIANT default b0,
+# BENCH_CONVNEXT_VARIANT default tiny) through the same harness; the
+# driver contract (no env) stays the flagship ResNet50.
 _FAMILY = os.environ.get("BENCH_FAMILY", "resnet")
-_VARIANT = (os.environ.get("BENCH_EFFICIENTNET_VARIANT", "b0")
-            if _FAMILY == "efficientnet"
-            else os.environ.get("BENCH_VIT_VARIANT", "b_16"))
+_VARIANT = {"efficientnet": os.environ.get("BENCH_EFFICIENTNET_VARIANT",
+                                           "b0"),
+            "convnext": os.environ.get("BENCH_CONVNEXT_VARIANT", "tiny"),
+            }.get(_FAMILY, os.environ.get("BENCH_VIT_VARIANT", "b_16"))
 _METRIC = ("resnet50_preproc_train_throughput" if _FAMILY == "resnet"
            else f"{_FAMILY}_{_VARIANT}_preproc_train_throughput")
 
@@ -174,6 +175,12 @@ def main():
             _VARIANT, num_classes=n_classes, image_size=224,
             compute_dtype="bfloat16", bn_stats_mode=bn_mode,
             remat_trainable_blocks=remat)
+    elif _FAMILY == "convnext":
+        from irp_tpu.models.convnext import convnext_model_config
+
+        model_cfg = convnext_model_config(
+            _VARIANT, num_classes=n_classes, image_size=224,
+            compute_dtype="bfloat16", remat_trainable_blocks=remat)
     else:
         model_cfg = ModelConfig(depth=50, num_classes=n_classes,
                                 image_size=224, compute_dtype="bfloat16",

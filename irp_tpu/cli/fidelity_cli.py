@@ -12,7 +12,7 @@ reports max |logit difference| and top-1 agreement.
 
   python run_fidelity.py --shards './data/webdataset/test-*.tar' \
       [--checkpoint final_model.pth] [--samples 64] [--depth 50] \
-      [--family resnet|vit|efficientnet]
+      [--family resnet|vit|efficientnet|convnext]
 
 All families run at the 224px eval geometry (the reference contract,
 dataload.py:51-57); beyond-reference families check against their
@@ -81,6 +81,7 @@ def main(argv=None):
     cfg = model_config_for_family(
         args.family, depth=args.depth, vit_variant=args.vit_variant,
         efficientnet_variant=args.efficientnet_variant,
+        convnext_variant=args.convnext_variant,
         num_classes=args.num_classes, dropout_rate=0.0,
         compute_dtype="float32", precision="highest",
         bn_stats_mode="all", image_size=224)
@@ -110,6 +111,14 @@ def main(argv=None):
         tmodel = TorchEfficientNetClassifier(
             num_classes=args.num_classes, hidden=cfg.hidden_dim,
             width_mult=cfg.width_mult, depth_mult=cfg.depth_mult,
+            stochastic_depth_prob=cfg.stochastic_depth)
+    elif args.family == "convnext":
+        from irp_tpu.models.torch_ref import TorchConvNeXtClassifier
+
+        tmodel = TorchConvNeXtClassifier(
+            num_classes=args.num_classes, hidden=cfg.hidden_dim,
+            dims=tuple(cfg.convnext_dims),
+            depths=tuple(cfg.convnext_depths),
             stochastic_depth_prob=cfg.stochastic_depth)
     else:
         tmodel = TorchAnimalClassifier(depth=args.depth,

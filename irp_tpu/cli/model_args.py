@@ -4,9 +4,11 @@ CLIs (run_hyperopt.py, run_final.py).
 The reference hardcodes ResNet50 (reference functions/model.py:15); here
 the backbone family is a flag: ``--family resnet --depth 50`` (default,
 reference-parity), ``--family vit --vit-variant b_16`` (torchvision
-vision_transformer sizes, models/vit.py VIT_VARIANTS), or ``--family
+vision_transformer sizes, models/vit.py VIT_VARIANTS), ``--family
 efficientnet --efficientnet-variant b0`` (torchvision efficientnet_b*
-sizes, models/efficientnet.py EFFICIENTNET_VARIANTS).
+sizes, models/efficientnet.py EFFICIENTNET_VARIANTS), or ``--family
+convnext --convnext-variant tiny`` (torchvision convnext_* sizes,
+models/convnext.py CONVNEXT_VARIANTS).
 """
 
 from __future__ import annotations
@@ -14,13 +16,15 @@ from __future__ import annotations
 
 def add_model_family_args(parser) -> None:
     parser.add_argument("--family",
-                        choices=("resnet", "vit", "efficientnet"),
+                        choices=("resnet", "vit", "efficientnet",
+                                 "convnext"),
                         default="resnet",
                         help="backbone family (default: resnet, the "
                              "reference's; 'vit' is the torchvision-"
                              "compatible Vision Transformer; "
                              "'efficientnet' the torchvision B0-B7 "
-                             "ladder)")
+                             "ladder; 'convnext' the torchvision "
+                             "Tiny-Large ladder)")
     parser.add_argument("--depth", type=int, default=50,
                         help="ResNet depth 18/34/50/101/152 "
                              "(--family resnet only)")
@@ -30,11 +34,15 @@ def add_model_family_args(parser) -> None:
     parser.add_argument("--efficientnet-variant", default="b0",
                         help="torchvision EfficientNet size: b0..b7 "
                              "(--family efficientnet only)")
+    parser.add_argument("--convnext-variant", default="tiny",
+                        help="torchvision ConvNeXt size: tiny/small/base/"
+                             "large (--family convnext only)")
 
 
 def model_config_for_family(family: str, *, depth: int = 50,
                             vit_variant: str = "b_16",
                             efficientnet_variant: str = "b0",
+                            convnext_variant: str = "tiny",
                             **overrides):
     """ModelConfig for a (family, variant) pair — the single construction
     point shared by the training CLIs and the fidelity harness, so a new
@@ -49,6 +57,10 @@ def model_config_for_family(family: str, *, depth: int = 50,
         from irp_tpu.models.efficientnet import efficientnet_model_config
 
         return efficientnet_model_config(efficientnet_variant, **overrides)
+    if family == "convnext":
+        from irp_tpu.models.convnext import convnext_model_config
+
+        return convnext_model_config(convnext_variant, **overrides)
     return ModelConfig(depth=depth, **overrides)
 
 
@@ -57,6 +69,7 @@ def build_model_base(args, num_classes: int):
     return model_config_for_family(
         args.family, depth=args.depth, vit_variant=args.vit_variant,
         efficientnet_variant=args.efficientnet_variant,
+        convnext_variant=getattr(args, "convnext_variant", "tiny"),
         num_classes=num_classes, image_size=args.image_size,
         pretrained_path=args.pretrained)
 

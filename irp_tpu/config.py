@@ -72,9 +72,12 @@ class ModelConfig:
     # Backbone family: 'resnet' (the reference's family, model.py:15),
     # 'vit' (torchvision-compatible Vision Transformer — beyond-reference
     # breadth; pure-matmul forward, the most MXU-friendly family on TPU),
-    # or 'efficientnet' (torchvision-compatible EfficientNet B0-B7 —
+    # 'efficientnet' (torchvision-compatible EfficientNet B0-B7 —
     # MBConv + squeeze-excitation; named variants in
-    # models/efficientnet.py EFFICIENTNET_VARIANTS).
+    # models/efficientnet.py EFFICIENTNET_VARIANTS), or 'convnext'
+    # (torchvision-compatible ConvNeXt Tiny-Large — NHWC CNBlocks whose
+    # LayerNorm/Dense pairs need none of torchvision's permutes; named
+    # variants in models/convnext.py CONVNEXT_VARIANTS).
     family: str = "resnet"
     depth: int = 50  # resnet only: 18/34/50/101/152
     num_classes: int = 10
@@ -106,16 +109,24 @@ class ModelConfig:
     width_mult: float = 1.0
     depth_mult: float = 1.0
     stochastic_depth: float = 0.2
+    # ConvNeXt family (torchvision block_setting parameterization):
+    # per-stage channel dims + block depths; the defaults are
+    # convnext_tiny (use models/convnext.py::convnext_model_config for
+    # named sizes, which also set the variant's stochastic_depth).
+    convnext_dims: tuple = (96, 192, 384, 768)
+    convnext_depths: tuple = (3, 3, 9, 3)
     dropout_rate: float = 0.3
     # Frozen backbone except these stages.  ResNet stage names are
     # 'layer1'..'layer4' (the default mirrors reference model.py:17-23);
     # ViT stage names are 'block0'..'block{L-1}', 'ln' (the final encoder
     # LayerNorm), and 'embed' (conv_proj + class_token + pos_embedding).
     # EfficientNet stage names are 'stem', 'stage1'..'stage7', and 'top'
-    # (the final 1x1 conv).  For family='vit' the untouched ResNet
-    # default ('layer4',) is auto-mapped to the analogous last-block form
-    # ('block{L-1}', 'ln') — see vit_default_trainable_stages; for
-    # family='efficientnet' it maps to ('stage7', 'top').
+    # (the final 1x1 conv); ConvNeXt names are 'stem', 'stage1'..'stage4',
+    # and 'ln' (the final post-pool LayerNorm).  For family='vit' the
+    # untouched ResNet default ('layer4',) is auto-mapped to the analogous
+    # last-block form ('block{L-1}', 'ln') — see
+    # vit_default_trainable_stages; for family='efficientnet' it maps to
+    # ('stage7', 'top'); for family='convnext' to ('stage4', 'ln').
     trainable_stages: tuple = ("layer4",)
     head_only: bool = False  # freeze everything but the head
     # Frozen-stage BatchNorm mode.  'trainable_only' (default) keeps frozen

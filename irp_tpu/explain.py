@@ -74,8 +74,10 @@ def _build_cam_fn(model, out_size: int):
             acts = acts.astype(jnp.float32)
 
             def to_logits(a):
-                return model.apply(variables, a.mean(axis=(1, 2)),
-                                   method="head")  # (B,K) f32
+                # pool + family-exact post-pool transform + head (ConvNeXt
+                # applies its final LayerNorm after the pool)
+                return model.apply(variables, a,
+                                   method="head_from_spatial")  # (B,K) f32
 
         logits, vjp = jax.vjp(to_logits, acts)
         target = jnp.where(class_idx < 0,

@@ -75,8 +75,15 @@ def infer_model_config(params: dict, image_size: int = 224,
     stem/top/per-stage channel widths) — the (width_mult, depth_mult)
     pair is what the BN constants key on, so a structural match recovers
     the exact eval-form numerics.
+
+    ConvNeXt trees are recognized by their ``stem_ln`` (checked before
+    the EfficientNet ``stem_conv`` probe — ConvNeXt has both); per-stage
+    dims/depths come straight from the block tree, which fully determines
+    the eval-form forward (no BN constants to recover).
     """
     backbone = params["backbone"]
+    if "stem_ln" in backbone:
+        return _infer_convnext_config(params, image_size, compute_dtype)
     if "stem_conv" in backbone:
         return _infer_efficientnet_config(params, image_size, compute_dtype)
     if "class_token" in backbone:
@@ -130,6 +137,37 @@ def infer_model_config(params: dict, image_size: int = 224,
                        image_size=image_size, hidden_dim=hidden_dim,
                        groups=groups, width_per_group=width_per_group,
                        compute_dtype=compute_dtype)
+
+
+def _infer_convnext_config(params: dict, image_size: int,
+                           compute_dtype: str) -> ModelConfig:
+    """Recover a ConvNeXt ModelConfig from its weight tree: per-stage
+    channel dims from each stage's depthwise kernels, depths from block
+    counts.  stochastic_depth is train-only (invisible at eval) and keeps
+    its default."""
+    import re
+
+    backbone = params["backbone"]
+    depths = [0, 0, 0, 0]
+    dims = [0, 0, 0, 0]
+    for key in backbone:
+        m = re.fullmatch(r"stage(\d)_block(\d+)", key)
+        if m:
+            s = int(m.group(1))
+            if not 1 <= s <= 4:
+                raise ValueError(f"unrecognized ConvNeXt stage in {key!r}")
+            depths[s - 1] += 1
+            dims[s - 1] = int(
+                np.shape(backbone[key]["dw_conv"]["kernel"])[-1])
+    if not all(depths):
+        raise ValueError(f"incomplete ConvNeXt stage tree "
+                         f"(block counts {depths})")
+    hidden_dim = int(np.shape(params["head_dense1"]["kernel"])[1])
+    num_classes = int(np.shape(params["head_dense2"]["kernel"])[1])
+    return ModelConfig(family="convnext", convnext_dims=tuple(dims),
+                       convnext_depths=tuple(depths),
+                       num_classes=num_classes, hidden_dim=hidden_dim,
+                       image_size=image_size, compute_dtype=compute_dtype)
 
 
 def _infer_efficientnet_config(params: dict, image_size: int,

@@ -1,9 +1,10 @@
-"""Model families (ResNet/ViT/EfficientNet) + MLP-head classifier +
-converters."""
+"""Model families (ResNet/ViT/EfficientNet/ConvNeXt) + MLP-head
+classifier + converters."""
 
 from irp_tpu.models.resnet import ResNet, STAGE_SIZES  # noqa: F401
 from irp_tpu.models.vit import VisionTransformer  # noqa: F401
 from irp_tpu.models.efficientnet import EfficientNet  # noqa: F401
+from irp_tpu.models.convnext import ConvNeXt  # noqa: F401
 from irp_tpu.models.classifier import (  # noqa: F401
     Classifier,
     get_classifier,

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from irp_tpu.config import ModelConfig
+from irp_tpu.models.convnext import (
+    STAGE_COUNT as _CNX_STAGES, ConvNeXt,
+    convnext_default_trainable_stages)
 from irp_tpu.models.efficientnet import (
     STAGE_COUNT as _EFF_STAGES, EfficientNet,
     efficientnet_default_trainable_stages)
@@ -37,6 +40,9 @@ def resolve_trainable_stages(cfg: ModelConfig) -> tuple:
     if (cfg.family == "efficientnet"
             and tuple(cfg.trainable_stages) == ("layer4",)):
         return efficientnet_default_trainable_stages()
+    if (cfg.family == "convnext"
+            and tuple(cfg.trainable_stages) == ("layer4",)):
+        return convnext_default_trainable_stages()
     return tuple(cfg.trainable_stages)
 
 
@@ -94,17 +100,57 @@ def _efficientnet_freezing(cfg: ModelConfig, stages: tuple):
     return prefix, top_frozen
 
 
+def _convnext_freezing(cfg: ModelConfig, stages: tuple) -> int:
+    """frozen_prefix for a ConvNeXt config: leading stages with no
+    trainable stage at or before them ('stem' trainable => prefix 0).
+    The final LayerNorm ('ln') is post-pool, so it never moves the cut."""
+    if cfg.head_only:
+        return _CNX_STAGES
+    if "stem" in stages:
+        return 0
+    indices = []
+    for name in stages:
+        if name.startswith("stage"):
+            idx = int(name[len("stage"):])
+            if not 1 <= idx <= _CNX_STAGES:
+                raise ValueError(
+                    f"trainable stage {name!r} out of range "
+                    f"(stage1..stage{_CNX_STAGES})")
+            indices.append(idx)
+        elif name != "ln":
+            raise ValueError(
+                f"unknown ConvNeXt trainable stage {name!r} (expected "
+                f"'stage<i>', 'stem', or 'ln')")
+    return min(indices) - 1 if indices else _CNX_STAGES
+
+
 class Classifier(nn.Module):
-    """Backbone (ResNet, ViT, or EfficientNet family) + 2-layer MLP head."""
+    """Backbone (ResNet, ViT, EfficientNet, or ConvNeXt family) +
+    2-layer MLP head."""
 
     config: ModelConfig
 
     def setup(self):
         cfg = self.config
-        if cfg.family not in ("resnet", "vit", "efficientnet"):
+        if cfg.family not in ("resnet", "vit", "efficientnet", "convnext"):
             raise ValueError(f"unknown model family {cfg.family!r}")
         dtype = jnp.dtype(cfg.compute_dtype)
         precision = _resolve_precision(cfg.precision)
+        if cfg.family == "convnext":
+            if cfg.fused_frozen_blocks == "on":
+                raise ValueError("fused_frozen_blocks='on' is a ResNet "
+                                 "bottleneck kernel; not available for "
+                                 "family='convnext'")
+            stages = resolve_trainable_stages(cfg)
+            self.backbone = ConvNeXt(
+                dims=tuple(cfg.convnext_dims),
+                depths=tuple(cfg.convnext_depths), dtype=dtype,
+                frozen_prefix=_convnext_freezing(cfg, stages),
+                stochastic_depth_prob=cfg.stochastic_depth,
+                precision=precision,
+                remat_blocks=cfg.remat_trainable_blocks)
+            self._build_head(cfg, dtype, precision)
+            return
         if cfg.family == "efficientnet":
             if cfg.fused_frozen_blocks == "on":
                 raise ValueError("fused_frozen_blocks='on' is a ResNet "
@@ -256,6 +302,22 @@ class Classifier(nn.Module):
         y = nn.relu(y)
         y = self.head_dense2(y)
         return y.astype(jnp.float32)
+
+    def head_from_spatial(self, spatial):
+        """Spatial map (B,h,w,C) -> eval-form logits, family-exact.
+
+        The Grad-CAM surface (irp_tpu.explain):
+        ``head_from_spatial(spatial_features(x))`` equals
+        ``__call__(x, train=False)`` for every spatial family.  ResNet /
+        EfficientNet pool and feed the head directly; ConvNeXt's final
+        LayerNorm sits AFTER the pool (torchvision classifier.0), so its
+        backbone recombines pool + LN (from_spatial=True) before the
+        head."""
+        if self.config.family == "convnext":
+            feats = self.backbone(spatial, from_spatial=True)
+        else:
+            feats = spatial.mean(axis=(1, 2))
+        return self.head(feats)
 
 
 def _resolve_precision(name: str | None):

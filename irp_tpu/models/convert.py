@@ -95,12 +95,22 @@ def _is_vit_state_dict(state_dict) -> bool:
                for k in state_dict)
 
 
+def _is_convnext_state_dict(state_dict) -> bool:
+    # the per-block layer_scale parameter is unique to ConvNeXt among
+    # torchvision families (checked BEFORE EfficientNet: ConvNeXt also
+    # uses a features.<s>.<j>.block.<k> layout)
+    return any(_strip_prefix(k).endswith("layer_scale")
+               for k in state_dict)
+
+
 def _is_efficientnet_state_dict(state_dict) -> bool:
     # torchvision efficientnet_b* backbones live under ``features.`` —
     # but so do VGG/DenseNet/MobileNet/ConvNeXt.  Require the MBConv
-    # submodule layout (``features.<s>.<j>.block.<k>.``), which is
-    # EfficientNet-specific, so unsupported features.-family checkpoints
-    # get a clear error (below) instead of MBConv-mapping KeyErrors.
+    # submodule layout (``features.<s>.<j>.block.<k>.``), which among
+    # the remaining families is EfficientNet-specific (ConvNeXt is
+    # dispatched first on its layer_scale), so unsupported
+    # features.-family checkpoints get a clear error (below) instead of
+    # MBConv-mapping KeyErrors.
     return any(re.match(r"^features\.\d+\.\d+\.block\.", _strip_prefix(k))
                for k in state_dict)
 
@@ -280,6 +290,109 @@ def _efficientnet_state_dict_to_variables(state_dict) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def _convnext_state_dict_to_variables(state_dict) -> Dict[str, Dict]:
+    """torchvision convnext_* state_dict -> flax variables
+    (models/convnext.py naming).
+
+    ``features.0`` is the 4x4/4 stem (conv + LayerNorm); odd features
+    indices 1/3/5/7 are the four CNBlock stages (``features.{2s-1}.{j}``
+    -> ``stage{s}_block{j}``); even indices 2/4/6 are the LayerNorm+conv
+    downsamples INTO stages 2-4.  The post-pool LayerNorm arrives as
+    torchvision's ``classifier.0`` (or ``ln`` from an irp_tpu export);
+    torchvision's own ``classifier.2`` (single Linear head) is skipped —
+    the irp_tpu head loads from ``classifier.{1,4}`` keys only when the
+    hidden Linear pair is present (reference model.py:30-36).
+    """
+    params: Dict = {}
+    backbone: Dict = {}
+    has_mlp_head = any(_strip_prefix(k).startswith("classifier.4.")
+                       for k in state_dict)
+
+    def ln_leaf(field):
+        return "scale" if field == "weight" else "bias"
+
+    for key, value in state_dict.items():
+        key = _strip_prefix(key)
+        arr = _np(value)
+        if key in ("ln.weight", "ln.bias"):  # irp_tpu-export final LN
+            _set_path(backbone, ("ln", ln_leaf(key.split(".")[1])), arr)
+            continue
+        if key.startswith("classifier."):
+            m = re.match(r"^classifier\.(\d+)\.(weight|bias)$", key)
+            if m is None:
+                raise KeyError(f"unrecognized ConvNeXt torch key: {key}")
+            idx, field = m.groups()
+            if idx == "0":  # torchvision's post-pool LayerNorm
+                _set_path(backbone, ("ln", ln_leaf(field)), arr)
+            elif has_mlp_head and idx in ("1", "4"):
+                dense = {"1": "head_dense1", "4": "head_dense2"}[idx]
+                _set_path(params, (dense,
+                                   "kernel" if field == "weight" else "bias"),
+                          arr.T if field == "weight" else arr)
+            # else: torchvision's own classifier.2 Linear — not ours
+            continue
+        m = re.match(r"^features\.(\d+)\.(.+)$", key)
+        if not m:
+            raise KeyError(f"unrecognized ConvNeXt torch key: {key}")
+        fidx, rest = int(m.group(1)), m.group(2)
+        if fidx == 0:  # stem conv + LN
+            sub, field = rest.split(".", 1)
+            if sub == "0":
+                _set_path(backbone, ("stem_conv",
+                                     "kernel" if field == "weight"
+                                     else "bias"),
+                          arr.transpose(2, 3, 1, 0)
+                          if field == "weight" else arr)
+            else:
+                _set_path(backbone, ("stem_ln", ln_leaf(field)), arr)
+            continue
+        if fidx % 2 == 1:  # CNBlock stages
+            s = (fidx + 1) // 2
+            m2 = re.match(r"^(\d+)\.(.+)$", rest)
+            if m2 is None:
+                raise KeyError(f"unrecognized ConvNeXt torch key: {key}")
+            j, leaf_key = m2.groups()
+            block = f"stage{s}_block{j}"
+            if leaf_key == "layer_scale":
+                _set_path(backbone, (block, "layer_scale"),
+                          arr.reshape(-1))
+                continue
+            m3 = re.match(r"^block\.(\d+)\.(weight|bias)$", leaf_key)
+            if m3 is None:
+                raise KeyError(f"unrecognized ConvNeXt torch key: {key}")
+            k, field = m3.groups()
+            if k == "0":  # depthwise 7x7
+                _set_path(backbone, (block, "dw_conv",
+                                     "kernel" if field == "weight"
+                                     else "bias"),
+                          arr.transpose(2, 3, 1, 0)
+                          if field == "weight" else arr)
+            elif k == "2":
+                _set_path(backbone, (block, "ln", ln_leaf(field)), arr)
+            elif k in ("3", "5"):
+                dense = "mlp_dense1" if k == "3" else "mlp_dense2"
+                _set_path(backbone, (block, dense,
+                                     "kernel" if field == "weight"
+                                     else "bias"),
+                          arr.T if field == "weight" else arr)
+            else:
+                raise KeyError(f"unrecognized ConvNeXt torch key: {key}")
+            continue
+        # even fidx 2/4/6: LayerNorm + 2x2/2 conv into stage fidx//2 + 1
+        s = fidx // 2 + 1
+        sub, field = rest.split(".", 1)
+        if sub == "0":
+            _set_path(backbone, (f"stage{s}_downsample_ln", ln_leaf(field)),
+                      arr)
+        else:
+            _set_path(backbone, (f"stage{s}_downsample_conv",
+                                 "kernel" if field == "weight" else "bias"),
+                      arr.transpose(2, 3, 1, 0)
+                      if field == "weight" else arr)
+    params["backbone"] = backbone
+    return {"params": params, "batch_stats": {}}
+
+
 def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
     """Convert a torch state_dict (tensors or ndarrays) to flax variables.
 
@@ -287,24 +400,28 @@ def torch_state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]):
     float32 numpy arrays.  Missing head keys are fine (backbone-only
     torchvision checkpoints); merge over a randomly-initialized tree with
     ``merge_pretrained``.  ViT state_dicts (torchvision vit_*) are
-    auto-detected by their class_token/encoder keys; EfficientNet ones
-    (torchvision efficientnet_b*) by their ``features.`` keys.
+    auto-detected by their class_token/encoder keys; ConvNeXt ones
+    (torchvision convnext_*) by their layer_scale keys; EfficientNet ones
+    (torchvision efficientnet_b*) by their MBConv ``features.`` keys.
     """
     if _is_vit_state_dict(state_dict):
         return _vit_state_dict_to_variables(state_dict)
+    if _is_convnext_state_dict(state_dict):
+        return _convnext_state_dict_to_variables(state_dict)
     if _is_efficientnet_state_dict(state_dict):
         return _efficientnet_state_dict_to_variables(state_dict)
     if _has_features_prefix(state_dict):
-        # features.-prefixed but not MBConv-shaped: some other torchvision
-        # family (VGG / DenseNet / MobileNet / ConvNeXt / ...) — name the
-        # heuristic instead of failing deep inside a family converter
+        # features.-prefixed but neither MBConv- nor CNBlock-shaped: some
+        # other torchvision family (VGG / DenseNet / MobileNet / ...) —
+        # name the heuristic instead of failing deep inside a converter
         raise ValueError(
-            "state_dict has 'features.'-prefixed keys but no EfficientNet "
-            "MBConv layout ('features.<s>.<j>.block.<k>.'): this looks "
-            "like an unsupported torchvision family (e.g. VGG, DenseNet, "
-            "MobileNet, ConvNeXt). Supported families: ResNet/ResNeXt/"
-            "Wide-ResNet (conv1/layer*), ViT (class_token/encoder.*), "
-            "EfficientNet (features.*.*.block.*)")
+            "state_dict has 'features.'-prefixed keys but neither the "
+            "EfficientNet MBConv layout ('features.<s>.<j>.block.<k>.') "
+            "nor ConvNeXt layer_scale keys: this looks like an "
+            "unsupported torchvision family (e.g. VGG, DenseNet, "
+            "MobileNet). Supported families: ResNet/ResNeXt/Wide-ResNet "
+            "(conv1/layer*), ViT (class_token/encoder.*), EfficientNet "
+            "(features.*.*.block.*), ConvNeXt (features.* + layer_scale)")
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
         mapped = torch_key_to_flax(key)
@@ -470,13 +587,68 @@ def _efficientnet_variables_to_torch_state_dict(
     return sd
 
 
+def _convnext_variables_to_torch_state_dict(
+        variables) -> Dict[str, np.ndarray]:
+    """Inverse ConvNeXt conversion (torchvision features.* layout; the
+    post-pool LayerNorm exports as ``backbone.ln`` — torchvision keeps it
+    at ``classifier.0``, and the importer accepts both)."""
+    params = variables["params"]
+    b = params["backbone"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(tbase, node):
+        sd[f"{tbase}.weight"] = np.asarray(node["kernel"],
+                                           np.float32).transpose(3, 2, 0, 1)
+        sd[f"{tbase}.bias"] = np.asarray(node["bias"], np.float32)
+
+    def put_ln(tbase, node):
+        sd[f"{tbase}.weight"] = np.asarray(node["scale"], np.float32)
+        sd[f"{tbase}.bias"] = np.asarray(node["bias"], np.float32)
+
+    put_conv("backbone.features.0.0", b["stem_conv"])
+    put_ln("backbone.features.0.1", b["stem_ln"])
+    blocks = sorted((k for k in b if re.fullmatch(r"stage\d+_block\d+", k)),
+                    key=lambda k: (int(k.split("_block")[0][len("stage"):]),
+                                   int(k.split("_block")[1])))
+    for fkey in blocks:
+        stage, j = fkey.split("_block")
+        s = int(stage[len("stage"):])
+        tbase = f"backbone.features.{2 * s - 1}.{j}"
+        node = b[fkey]
+        put_conv(f"{tbase}.block.0", node["dw_conv"])
+        put_ln(f"{tbase}.block.2", node["ln"])
+        for k, dense in (("3", "mlp_dense1"), ("5", "mlp_dense2")):
+            sd[f"{tbase}.block.{k}.weight"] = np.asarray(
+                node[dense]["kernel"], np.float32).T
+            sd[f"{tbase}.block.{k}.bias"] = np.asarray(
+                node[dense]["bias"], np.float32)
+        sd[f"{tbase}.layer_scale"] = np.asarray(
+            node["layer_scale"], np.float32).reshape(-1, 1, 1)
+    for s in range(2, 5):
+        if f"stage{s}_downsample_ln" in b:
+            put_ln(f"backbone.features.{2 * s - 2}.0",
+                   b[f"stage{s}_downsample_ln"])
+            put_conv(f"backbone.features.{2 * s - 2}.1",
+                     b[f"stage{s}_downsample_conv"])
+    put_ln("backbone.ln", b["ln"])
+    for idx, dense in (("1", "head_dense1"), ("4", "head_dense2")):
+        sd[f"classifier.{idx}.weight"] = np.asarray(
+            params[dense]["kernel"], np.float32).T
+        sd[f"classifier.{idx}.bias"] = np.asarray(
+            params[dense]["bias"], np.float32)
+    return sd
+
+
 def flax_variables_to_torch_state_dict(variables, depth: int = 50):
     """Inverse conversion (for exporting checkpoints the reference stack
     could load; reverse of torch_state_dict_to_variables).  ViT trees are
-    auto-detected by their class_token key, EfficientNet ones by their
-    stem_conv key; ``depth`` is ResNet-only."""
+    auto-detected by their class_token key, ConvNeXt ones by their
+    stem_ln key, EfficientNet ones by their stem_conv key; ``depth`` is
+    ResNet-only."""
     if "class_token" in variables["params"].get("backbone", {}):
         return _vit_variables_to_torch_state_dict(variables)
+    if "stem_ln" in variables["params"].get("backbone", {}):
+        return _convnext_variables_to_torch_state_dict(variables)
     if "stem_conv" in variables["params"].get("backbone", {}):
         return _efficientnet_variables_to_torch_state_dict(variables)
     params = variables["params"]

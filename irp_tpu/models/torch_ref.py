@@ -1,12 +1,14 @@
-"""Hand-written PyTorch ResNet + ViT (torchvision-compatible naming) for
-fidelity tests.
+"""Hand-written PyTorch ResNet + ViT + EfficientNet + ConvNeXt
+(torchvision-compatible naming) for fidelity tests.
 
 torchvision is not installed in this environment; these minimal modules
-reproduce torchvision.models.resnet (v1.5 stride placement) and
+reproduce torchvision.models.resnet (v1.5 stride placement),
 torchvision.models.vision_transformer (pre-LN blocks, eps=1e-6, exact
-GELU, CLS pooling) exactly, with the same state_dict keys, so exported
-irp_tpu checkpoints can be executed in torch and compared numerically
-against the Flax forward (the 1e-3 eval-fidelity bar, BASELINE.md).
+GELU, CLS pooling), torchvision.models.efficientnet (MBConv + SE), and
+torchvision.models.convnext (CNBlocks + layer scale) exactly, with the
+same state_dict keys, so exported irp_tpu checkpoints can be executed in
+torch and compared numerically against the Flax forward (the 1e-3
+eval-fidelity bar, BASELINE.md).
 """
 
 from collections import OrderedDict
@@ -250,6 +252,110 @@ class TorchEfficientNetClassifier(nn.Module):
         self.classifier = nn.Sequential(
             nn.Dropout(0.0), nn.Linear(top_channels(width_mult), hidden),
             nn.ReLU(), nn.Dropout(0.0), nn.Linear(hidden, num_classes))
+
+    def forward(self, x):
+        return self.classifier(self.backbone(x))
+
+
+class _LayerNorm2d(nn.LayerNorm):
+    """torchvision.models.convnext.LayerNorm2d: LN over channels of an
+    NCHW tensor via a permute sandwich."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class _Permute(nn.Module):
+    def __init__(self, dims):
+        super().__init__()
+        self.dims = dims
+
+    def forward(self, x):
+        return x.permute(self.dims)
+
+
+class _CNBlock(nn.Module):
+    """torchvision CNBlock with the exact ``block.{i}`` submodule layout
+    (0 dw conv / 2 LayerNorm / 3 Linear / 5 Linear) + layer_scale."""
+
+    def __init__(self, dim, sd_prob):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True),
+            _Permute([0, 2, 3, 1]),
+            nn.LayerNorm(dim, eps=1e-6),
+            nn.Linear(dim, 4 * dim),
+            nn.GELU(),
+            nn.Linear(4 * dim, dim),
+            _Permute([0, 3, 1, 2]),
+        )
+        self.layer_scale = nn.Parameter(torch.full((dim, 1, 1), 1e-6))
+        self.sd_prob = sd_prob
+
+    def forward(self, x):
+        y = self.layer_scale * self.block(x)
+        if self.training and self.sd_prob > 0.0:
+            keep = 1.0 - self.sd_prob
+            mask = torch.empty(x.shape[0], 1, 1, 1,
+                               device=x.device).bernoulli_(keep)
+            y = y * mask / keep
+        return x + y
+
+
+class TorchConvNeXt(nn.Module):
+    """Headless torchvision-layout ConvNeXt (pooled + LN'd feature).
+
+    State_dict keys match torchvision.models.convnext_* exactly for the
+    features.* tree (features.0.{0,1} stem, features.{1,3,5,7}.{j} CNBlock
+    stages, features.{2,4,6}.{0,1} downsamples); the post-pool LayerNorm
+    lives at ``ln`` (torchvision keeps it at classifier.0 — the irp_tpu
+    converter accepts both) and the classifier is omitted (the irp_tpu
+    Classifier supplies its own MLP head, reference model.py:27-36).
+    """
+
+    def __init__(self, dims=(96, 192, 384, 768), depths=(3, 3, 9, 3),
+                 stochastic_depth_prob=0.1):
+        super().__init__()
+        total = sum(depths)
+        features = [nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, 4, 0, bias=True),
+            _LayerNorm2d(dims[0], eps=1e-6))]
+        block_id = 0
+        for i, (dim, depth) in enumerate(zip(dims, depths)):
+            if i > 0:
+                features.append(nn.Sequential(
+                    _LayerNorm2d(dims[i - 1], eps=1e-6),
+                    nn.Conv2d(dims[i - 1], dim, 2, 2, 0, bias=True)))
+            stage = []
+            for _ in range(depth):
+                sd = (stochastic_depth_prob * block_id
+                      / max(total - 1.0, 1.0))
+                stage.append(_CNBlock(dim, sd))
+                block_id += 1
+            features.append(nn.Sequential(*stage))
+        self.features = nn.Sequential(*features)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.ln = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x))
+        return self.ln(torch.flatten(x, 1))
+
+
+class TorchConvNeXtClassifier(nn.Module):
+    """ConvNeXt backbone + the reference's MLP head shape
+    (model.py:30-36)."""
+
+    def __init__(self, num_classes=10, hidden=512,
+                 dims=(96, 192, 384, 768), depths=(3, 3, 9, 3),
+                 stochastic_depth_prob=0.1):
+        super().__init__()
+        self.backbone = TorchConvNeXt(dims, depths, stochastic_depth_prob)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.0), nn.Linear(dims[-1], hidden), nn.ReLU(),
+            nn.Dropout(0.0), nn.Linear(hidden, num_classes))
 
     def forward(self, x):
         return self.classifier(self.backbone(x))

@@ -53,9 +53,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# ViT encoder-block Megatron layout (module docstring): column-parallel
-# layers shard the OUTPUT dim (their biases shard with it); row-parallel
-# layers shard the INPUT dim (bias applies post-psum, replicated).
+# ViT encoder-block / ConvNeXt CNBlock Megatron layout (module
+# docstring): column-parallel layers shard the OUTPUT dim (their biases
+# shard with it); row-parallel layers shard the INPUT dim (bias applies
+# post-psum, replicated).  ConvNeXt names its block MLP pair
+# mlp_dense1/mlp_dense2 precisely so these rules cover it by name.
 _VIT_COL = ("attn_q", "attn_k", "attn_v", "mlp_dense1")
 _VIT_ROW = ("attn_out", "mlp_dense2")
 

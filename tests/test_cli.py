@@ -76,7 +76,7 @@ def test_run_fidelity_cli(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("family", ["vit", "efficientnet"])
+@pytest.mark.parametrize("family", ["vit", "efficientnet", "convnext"])
 def test_run_fidelity_cli_families(tmp_path, family):
     """--family dispatch: the beyond-reference families pass the same
     1e-3 torch-parity bar through the CLI (224px eval geometry)."""
