@@ -44,6 +44,16 @@ def main(argv=None):
                    help="force the CPU backend (debug)")
     p.add_argument("--quick", action="store_true",
                    help="smoke-test space: 2 epochs, bs 16, low aug")
+    p.add_argument("--pruner", choices=("median", "asha", "none"),
+                   default="median",
+                   help="tier-1 pruner: 'median' (reference parity), "
+                        "'asha' (async successive halving -- barrier-"
+                        "free, the natural choice with "
+                        "--parallel-workers), or 'none'")
+    p.add_argument("--asha-min-resource", type=int, default=1,
+                   help="ASHA first-rung resource in epochs")
+    p.add_argument("--asha-reduction-factor", type=int, default=3,
+                   help="ASHA keep-top-1/N factor per rung")
     p.add_argument("--parallel-workers", type=int, default=None,
                    help="run trials concurrently on per-worker TPU "
                         "sub-meshes (default: sequential)")
@@ -91,6 +101,8 @@ def main(argv=None):
     hcfg = HyperoptConfig(
         n_trials=args.n_trials, k_folds=args.k_folds,
         first_fold_min_acc=args.first_fold_min_acc,
+        pruner=args.pruner, asha_min_resource=args.asha_min_resource,
+        asha_reduction_factor=args.asha_reduction_factor,
         storage=args.storage, study_name=args.study_name, seed=args.seed)
     model_base = build_model_base(args, info.num_classes)
 

@@ -231,8 +231,14 @@ class HyperoptConfig:
     n_trials: int = 200
     k_folds: int = 3
     first_fold_min_acc: float = 95.0  # tier-2 pruning floor (hyperopt.py:236-247)
+    # Tier-1 pruner: 'median' (reference parity, hyperopt.py:434-438),
+    # 'asha' (beyond-reference asynchronous successive halving — the
+    # barrier-free choice under parallel trial scheduling), or 'none'.
+    pruner: str = "median"
     median_startup_trials: int = 20  # MedianPruner(20, 10, 1) (hyperopt.py:434-438)
     median_warmup_steps: int = 10
+    asha_min_resource: int = 1  # first rung (epochs)
+    asha_reduction_factor: int = 3  # keep top 1/3 at each rung
     progressive_min_trials: int = 20  # tier-3 (hyperopt.py:285-307)
     progressive_factor: float = 0.85
     confidence: float = 0.80  # t-dist lower bound (hyperopt.py:361-370)

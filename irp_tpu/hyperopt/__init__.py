@@ -24,7 +24,8 @@ from irp_tpu.hyperopt.study import (  # noqa: F401
     create_study,
 )
 from irp_tpu.hyperopt.samplers import RandomSampler, TPESampler  # noqa: F401
-from irp_tpu.hyperopt.pruners import MedianPruner, NopPruner  # noqa: F401
+from irp_tpu.hyperopt.pruners import (  # noqa: F401
+    MedianPruner, NopPruner, SuccessiveHalvingPruner)
 from irp_tpu.hyperopt.objective import (  # noqa: F401
     HyperoptContext,
     objective_kfold,

@@ -4,6 +4,13 @@ The reference uses ``optuna.pruners.MedianPruner(n_startup_trials=20,
 n_warmup_steps=10, interval_steps=1)`` (reference functions/hyperopt.py:
 434-438) as tier-1 of its three-tier pruning ladder; tiers 2 and 3 live in
 the objective (see irp_tpu.hyperopt.objective).
+
+``SuccessiveHalvingPruner`` is beyond-reference: asynchronous successive
+halving (ASHA, Li et al. 2018), the natural tier-1 companion to
+parallel trial scheduling (irp_tpu.hyperopt.parallel) — unlike the
+median rule it needs no startup-trial count and makes its keep/kill
+decisions per rung without any cross-trial synchronization barrier, so
+concurrent workers never wait on each other's epochs.
 """
 
 from __future__ import annotations
@@ -13,6 +20,66 @@ import numpy as np
 
 class NopPruner:
     def should_prune(self, study, trial) -> bool:
+        return False
+
+
+class SuccessiveHalvingPruner:
+    """Asynchronous successive halving (ASHA, Li et al. 2018).
+
+    Rungs sit at resources ``min_resource * reduction_factor**k``
+    (reported steps are 0-indexed: a trial reaches rung resource r once
+    it has reported step r-1).  At each rung a trial continues only if
+    its best-so-far intermediate value is in the top
+    ``1/reduction_factor`` of every trial that has reached that rung
+    (itself included); with fewer than ``reduction_factor`` arrivals the
+    rung cannot discriminate and lets the trial through.  Asynchronous:
+    the decision uses whoever has arrived so far — no waiting for a
+    cohort, which is what makes it the right tier-1 under
+    ``parallel_workers`` (the reference's MedianPruner-based ladder is
+    inherently sequential-minded, reference hyperopt.py:434-438).
+    """
+
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 3):
+        if min_resource < 1:
+            raise ValueError(f"min_resource must be >= 1, "
+                             f"got {min_resource}")
+        if reduction_factor < 2:
+            raise ValueError(f"reduction_factor must be >= 2, "
+                             f"got {reduction_factor}")
+        self.min_resource = min_resource
+        self.reduction_factor = reduction_factor
+
+    @staticmethod
+    def _best_at(trial, rung_step: int, maximize: bool):
+        vals = [v for s, v in trial.intermediate_values.items()
+                if s <= rung_step]
+        if not vals:
+            return None
+        return max(vals) if maximize else min(vals)
+
+    def should_prune(self, study, trial) -> bool:
+        step = trial.last_step
+        if step is None:
+            return False
+        maximize = study.direction == "maximize"
+        peers = [t for t in study.get_trials()
+                 if t.trial_id != trial.trial_id]
+        rung_step = self.min_resource - 1  # step index reaching the rung
+        while rung_step <= step:
+            own = self._best_at(trial, rung_step, maximize)
+            arrived = [self._best_at(t, rung_step, maximize)
+                       for t in peers
+                       if any(s >= rung_step for s in
+                              t.intermediate_values)]
+            arrived = [v for v in arrived if v is not None]
+            n = len(arrived) + 1
+            if n >= self.reduction_factor and own is not None:
+                k = max(1, n // self.reduction_factor)  # promotions
+                ranked = sorted(arrived + [own], reverse=maximize)
+                cutoff = ranked[k - 1]
+                if (own < cutoff) if maximize else (own > cutoff):
+                    return True
+            rung_step = (rung_step + 1) * self.reduction_factor - 1
         return False
 
 

@@ -11,7 +11,8 @@ from __future__ import annotations
 from typing import Optional
 
 from irp_tpu.hyperopt.objective import HyperoptContext, objective_kfold
-from irp_tpu.hyperopt.pruners import MedianPruner
+from irp_tpu.hyperopt.pruners import (MedianPruner, NopPruner,
+                                      SuccessiveHalvingPruner)
 from irp_tpu.hyperopt.samplers import TPESampler
 from irp_tpu.hyperopt.study import Study, TrialState, create_study
 
@@ -28,9 +29,20 @@ def run_kfold_optimization(ctx: HyperoptContext,
     hcfg = ctx.hcfg
     n_trials = n_trials if n_trials is not None else hcfg.n_trials
 
-    pruner = MedianPruner(n_startup_trials=hcfg.median_startup_trials,
-                          n_warmup_steps=hcfg.median_warmup_steps,
-                          interval_steps=1)
+    kind = getattr(hcfg, "pruner", "median")
+    if kind == "asha":
+        pruner = SuccessiveHalvingPruner(
+            min_resource=hcfg.asha_min_resource,
+            reduction_factor=hcfg.asha_reduction_factor)
+    elif kind == "none":
+        pruner = NopPruner()
+    elif kind == "median":
+        pruner = MedianPruner(n_startup_trials=hcfg.median_startup_trials,
+                              n_warmup_steps=hcfg.median_warmup_steps,
+                              interval_steps=1)
+    else:
+        raise ValueError(f"unknown pruner {kind!r} "
+                         "(one of 'median', 'asha', 'none')")
     study = create_study(study_name=hcfg.study_name,
                          storage=f"sqlite:///{hcfg.storage}",
                          sampler=TPESampler(seed=hcfg.seed),

@@ -224,3 +224,113 @@ def test_trial_param_stable_within_trial(tmp_path):
     a = trial.suggest_float("x", 0, 1)
     b = trial.suggest_float("x", 0, 1)
     assert a == b
+
+
+def test_asha_pruner_semantics(tmp_path):
+    """ASHA (SuccessiveHalvingPruner): rungs at min_resource * rf^k; a
+    trial survives a rung iff its best-so-far value is in the top 1/rf
+    of everything that has reached it; under-populated rungs pass."""
+    from irp_tpu.hyperopt import SuccessiveHalvingPruner
+
+    study = create_study("asha", str(tmp_path / "a.db"),
+                         sampler=RandomSampler(0),
+                         pruner=SuccessiveHalvingPruner(
+                             min_resource=1, reduction_factor=3),
+                         direction="maximize")
+
+    # First trial: nothing to compare against at any rung -> never pruned
+    t0 = study.ask()
+    t0.suggest_float("x", 0, 1)
+    t0.report(50.0, 0)
+    assert not t0.should_prune()
+    study.tell(t0, TrialState.COMPLETE, 50.0)
+
+    # Second arrival at rung 0: n=2 < reduction_factor=3 -> passes even
+    # though it is worse
+    t1 = study.ask()
+    t1.suggest_float("x", 0, 1)
+    t1.report(10.0, 0)
+    assert not t1.should_prune()
+    study.tell(t1, TrialState.COMPLETE, 10.0)
+
+    # Third arrival, bottom of 3 at rung 0 -> pruned (keep top 1/3 = 1)
+    t2 = study.ask()
+    t2.suggest_float("x", 0, 1)
+    t2.report(5.0, 0)
+    assert t2.should_prune()
+
+    # The rung leader is never pruned
+    t3 = study.ask()
+    t3.suggest_float("x", 0, 1)
+    t3.report(99.0, 0)
+    assert not t3.should_prune()
+
+
+def test_asha_second_rung_and_validation(tmp_path):
+    from irp_tpu.hyperopt import SuccessiveHalvingPruner
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_resource"):
+        SuccessiveHalvingPruner(min_resource=0)
+    with _pytest.raises(ValueError, match="reduction_factor"):
+        SuccessiveHalvingPruner(reduction_factor=1)
+
+    study = create_study("asha2", str(tmp_path / "a2.db"),
+                         sampler=RandomSampler(0),
+                         pruner=SuccessiveHalvingPruner(
+                             min_resource=1, reduction_factor=2),
+                         direction="maximize")
+    # rungs at steps 0, 1, 3 (resources 1, 2, 4).  Build three completed
+    # trials that reached step 3 with strong curves.
+    for base in (80.0, 90.0, 100.0):
+        t = study.ask()
+        t.suggest_float("x", 0, 1)
+        for s in range(4):
+            t.report(base + s, s)
+        study.tell(t, TrialState.COMPLETE, base + 3)
+    # A trial that wins rung 0 but collapses by rung 1 (step 1): with
+    # rf=2 and 4 arrivals at rung 1, keep top 2 -- 50 < {81, 91, 101}.
+    t = study.ask()
+    t.suggest_float("x", 0, 1)
+    t.report(200.0, 0)
+    assert not t.should_prune()
+    t.report(50.0, 1)
+    # best-so-far at rung 1 is 200 (step 0 carry) -> still survives
+    assert not t.should_prune()
+    # a genuinely weak trial dies at rung 0 (keep top 2 of 4: cutoff 90)
+    t2 = study.ask()
+    t2.suggest_float("x", 0, 1)
+    t2.report(85.0, 0)
+    assert t2.should_prune()
+
+
+def test_runner_pruner_selection(tmp_path):
+    """HyperoptConfig.pruner picks the tier-1 pruner; unknown names
+    raise."""
+    import dataclasses as _dc
+
+    from irp_tpu.config import HyperoptConfig
+    from irp_tpu.hyperopt import runner as runner_mod
+
+    hcfg = HyperoptConfig(n_trials=1, storage=str(tmp_path / "p.db"),
+                          study_name="psel", pruner="bogus")
+    ctx = type("Ctx", (), {"hcfg": hcfg,
+                           "release_hbm_pool": lambda self: None})()
+    with pytest.raises(ValueError, match="unknown pruner"):
+        runner_mod.run_kfold_optimization(ctx, n_trials=0, verbose=False)
+    for kind, cls_name in (("median", "MedianPruner"),
+                           ("asha", "SuccessiveHalvingPruner"),
+                           ("none", "NopPruner")):
+        hk = _dc.replace(hcfg, pruner=kind, study_name=f"psel_{kind}")
+        from irp_tpu.hyperopt.study import create_study as _cs
+        # exercise just the selection logic via a tiny real run: zero
+        # trials -> create_study happens, no objective calls
+        study = None
+        try:
+            fake = type("Ctx", (), {
+                "hcfg": hk, "release_hbm_pool": lambda self: None})()
+            study = runner_mod.run_kfold_optimization(
+                fake, n_trials=0, verbose=False)
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"pruner={kind} raised {e!r}")
+        assert type(study.pruner).__name__ == cls_name
