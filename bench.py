@@ -157,6 +157,9 @@ def main():
     # (ops/mix.py); the driver contract (no env) stays mixing-off.
     mixup_alpha = float(os.environ.get("BENCH_MIXUP_ALPHA", "0"))
     cutmix_alpha = float(os.environ.get("BENCH_CUTMIX_ALPHA", "0"))
+    # BENCH_EMA_DECAY benches the per-step EMA weight average
+    # (train/state.py::_params_ema); driver contract stays EMA-off.
+    ema_decay = float(os.environ.get("BENCH_EMA_DECAY", "0"))
     _PHASE = "backend-init"
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
@@ -187,7 +190,7 @@ def main():
                                 bn_stats_mode=bn_mode,
                                 remat_trainable_blocks=remat)
     train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
-                            batch_size=batch_size)
+                            batch_size=batch_size, ema_decay=ema_decay)
 
     _PHASE = "dataset-upload"
     rng = np.random.default_rng(0)
@@ -311,6 +314,7 @@ def main():
         "remat_trainable_blocks": remat,
         "mixup_alpha": mixup_alpha,
         "cutmix_alpha": cutmix_alpha,
+        "ema_decay": ema_decay,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
     import math
