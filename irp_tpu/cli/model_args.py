@@ -92,6 +92,13 @@ def add_train_recipe_args(parser) -> None:
                              "(per-step, inside the compiled train step); "
                              "val/best/returned weights use the EMA tree. "
                              "0 = off; typical 0.999-0.9999")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="gradient accumulation: run each optimizer "
+                             "step as N sequential micro-batches inside "
+                             "the compiled step (activation memory scales "
+                             "with batch_size/N; the update stays the "
+                             "exact full-batch gradient). batch_size must "
+                             "be divisible by data_shards*N. 1 = off")
 
 
 def build_train_base(args):
@@ -103,4 +110,5 @@ def build_train_base(args):
     return TrainConfig(mixup_alpha=args.mixup_alpha,
                        cutmix_alpha=args.cutmix_alpha,
                        label_smoothing=args.label_smoothing,
-                       ema_decay=args.ema_decay)
+                       ema_decay=args.ema_decay,
+                       grad_accum_steps=args.grad_accum)

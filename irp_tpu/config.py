@@ -199,6 +199,23 @@ class TrainConfig:
     # the EMA trees.  0.0 = off (reference behavior; opt_state structure
     # is unchanged, so existing checkpoints restore bit-identically).
     ema_decay: float = 0.0
+    # Gradient accumulation (beyond-reference): each optimizer step's
+    # forward/backward runs as this many SEQUENTIAL micro-batches inside
+    # the jitted step, so activation memory scales with
+    # batch_size/grad_accum_steps.  Micro-losses are normalized by the
+    # full batch's denominator (train/step.py::_accum_loss_and_updates),
+    # so the summed micro-gradients equal the full-batch gradient to fp
+    # reassociation whenever the forward is per-sample independent
+    # (BN-free families, or BN in inference form); BN layers normalizing
+    # by batch statistics see micro-batch moments instead — the standard
+    # accumulation caveat in every framework.  Lets batch_size exceed
+    # what one backward pass fits in HBM (big ViT/EfficientNet variants
+    # at high resolution).  Chunking is shard-local on multi-chip meshes
+    # (no extra collectives); the augmentation/mixing streams are
+    # bit-identical to grad_accum_steps=1, only the dropout stream
+    # differs.  batch_size must be divisible by
+    # data_shards * grad_accum_steps.
+    grad_accum_steps: int = 1
     # Re-permute each device's HBM-resident local shard every epoch
     # (on-device gather, no re-upload) so batch composition re-randomizes
     # like the reference's per-epoch shard-shuffle + 1000-buffer

@@ -167,6 +167,8 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                    ("label_smoothing", ctx.train_base.label_smoothing),
                    ("ema_decay", ctx.train_base.ema_decay))
                   if v}  # off-by-default knobs: log only when set
+        if ctx.train_base.grad_accum_steps > 1:
+            recipe["grad_accum_steps"] = ctx.train_base.grad_accum_steps
         run.log_params({**hp, **recipe, "k_folds": k})
 
         fold_accuracies: List[float] = []

@@ -328,11 +328,16 @@ def _resolve_precision(name: str | None):
 
 
 def weighted_cross_entropy(logits, labels, class_weights=None,
-                           label_smoothing: float = 0.0):
+                           label_smoothing: float = 0.0, denom=None):
     """Per-class-weighted softmax cross-entropy.
 
     Matches torch.nn.CrossEntropyLoss(weight=w) semantics (reference
     model.py:50-54): mean is weighted — sum(w_i * ce_i) / sum(w_i).
+
+    ``denom`` overrides the normalizing denominator (batch size, or the
+    weight sum when class-weighted).  Gradient accumulation uses this to
+    make micro-batch losses sum EXACTLY to the full-batch loss: each
+    chunk contributes sum(w_i * ce_i) / denom_full (step.py).
     """
     num_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
@@ -341,23 +346,28 @@ def weighted_cross_entropy(logits, labels, class_weights=None,
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.sum(onehot * logp, axis=-1)
     if class_weights is None:
-        return jnp.mean(ce)
+        if denom is None:
+            return jnp.mean(ce)
+        return jnp.sum(ce) / denom
     w = jnp.asarray(class_weights, dtype=logits.dtype)[labels]
-    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-8)
+    d = jnp.maximum(jnp.sum(w), 1e-8) if denom is None else denom
+    return jnp.sum(w * ce) / d
 
 
 def mixed_weighted_cross_entropy(logits, labels_a, labels_b, lam,
                                  class_weights=None,
-                                 label_smoothing: float = 0.0):
+                                 label_smoothing: float = 0.0,
+                                 denom_a=None, denom_b=None):
     """Loss side of mixup/CutMix (ops/mix.py::mix_batch): the convex
     two-term form ``lam * CE(y_a) + (1-lam) * CE(y_b)`` — equivalent to
     soft-target CE without materializing (B, C) one-hots, and the
     standard way class weighting composes with mixing (each term keeps
-    its own weighted-mean denominator)."""
+    its own weighted-mean denominator).  ``denom_a``/``denom_b``: see
+    weighted_cross_entropy (gradient accumulation)."""
     loss_a = weighted_cross_entropy(logits, labels_a, class_weights,
-                                    label_smoothing)
+                                    label_smoothing, denom=denom_a)
     loss_b = weighted_cross_entropy(logits, labels_b, class_weights,
-                                    label_smoothing)
+                                    label_smoothing, denom=denom_b)
     lam = lam.astype(loss_a.dtype)
     return lam * loss_a + (1.0 - lam) * loss_b
 

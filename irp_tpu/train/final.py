@@ -174,6 +174,8 @@ def train_final_model(study, train_cached: CachedDataset,
                    ("label_smoothing", train_cfg.label_smoothing),
                    ("ema_decay", train_cfg.ema_decay))
                   if v}  # off-by-default knobs: log only when set
+        if train_cfg.grad_accum_steps > 1:
+            recipe["grad_accum_steps"] = train_cfg.grad_accum_steps
         run.log_params({**bp, **recipe, "final_epochs": final_epochs,
                         "mode": mode,
                         "bn_stats_mode": model_cfg.bn_stats_mode})

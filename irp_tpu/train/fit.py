@@ -155,6 +155,15 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     if hbm_train is not None and hbm_train.mesh is not mesh \
             and hbm_train.mesh != mesh:
         raise ValueError("hbm_train was built on a different mesh")
+    accum = int(train_cfg.grad_accum_steps)
+    n_data_axis = dict(mesh.shape).get("data", 1)
+    if accum < 1:
+        raise ValueError(f"grad_accum_steps must be >= 1, got {accum}")
+    if train_cfg.batch_size % (n_data_axis * accum):
+        raise ValueError(
+            f"batch_size={train_cfg.batch_size} must be divisible by "
+            f"data_shards*grad_accum_steps ({n_data_axis}*{accum}) — "
+            "each device needs a whole micro-batch per accumulation step")
     key = jax.random.PRNGKey(train_cfg.seed)
     init_key, train_key = jax.random.split(key)
 
@@ -229,11 +238,13 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                 label_smoothing=train_cfg.label_smoothing,
                 aug_work_dtype=aug_dtype,
                 mixup_alpha=train_cfg.mixup_alpha,
-                cutmix_alpha=train_cfg.cutmix_alpha),
+                cutmix_alpha=train_cfg.cutmix_alpha,
+                grad_accum=train_cfg.grad_accum_steps),
             (mesh, sampler.per_device, cw_key, train_cfg.aug_intensity,
              model_cfg.image_size, str(dtype),
              train_cfg.label_smoothing, str(aug_dtype),
-             train_cfg.mixup_alpha, train_cfg.cutmix_alpha))
+             train_cfg.mixup_alpha, train_cfg.cutmix_alpha,
+             train_cfg.grad_accum_steps))
 
         def run_epoch_hbm(state, epoch):
             if epoch > 0 and train_cfg.hbm_reshuffle:
@@ -258,10 +269,12 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                 label_smoothing=train_cfg.label_smoothing,
                 mixup_alpha=train_cfg.mixup_alpha,
                 cutmix_alpha=train_cfg.cutmix_alpha,
-                data_shards=data_shards),
+                data_shards=data_shards,
+                grad_accum=train_cfg.grad_accum_steps),
             (cw_key, train_cfg.aug_intensity, model_cfg.image_size,
              str(dtype), train_cfg.label_smoothing,
-             train_cfg.mixup_alpha, train_cfg.cutmix_alpha, data_shards))
+             train_cfg.mixup_alpha, train_cfg.cutmix_alpha, data_shards,
+             train_cfg.grad_accum_steps))
 
         def run_step(state, batch, key):
             images, labels, _ = batch

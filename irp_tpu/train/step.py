@@ -54,12 +54,22 @@ def _eval_normalize(images_u8, out_size: int, dtype,
 
 def _loss_and_updates(state, x, labels, dropout_key, class_weights,
                       label_smoothing: float = 0.0, dropout_rate=None,
-                      labels_b=None, lam=None):
+                      labels_b=None, lam=None, grad_accum: int = 1,
+                      data_shards: int = 1):
     # dropout_rate None -> the module's configured rate; a traced scalar
     # injects the rate at runtime (sweep-scale compile reuse, see
     # Classifier._dropout).  labels_b/lam (both or neither): mixup/CutMix
     # two-term loss (ops/mix.py) — accuracy then reads against the
-    # dominant label of the blend.
+    # dominant label of the blend.  grad_accum > 1 splits the
+    # forward/backward into sequential micro-batches (activation memory
+    # scales with B/grad_accum) while producing the EXACT full-batch
+    # update — see _accum_loss_and_updates.
+    if int(grad_accum) > 1:
+        return _accum_loss_and_updates(state, x, labels, dropout_key,
+                                       class_weights, label_smoothing,
+                                       dropout_rate, labels_b, lam,
+                                       int(grad_accum), int(data_shards))
+
     def loss_fn(params):
         logits, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
@@ -86,6 +96,104 @@ def _loss_and_updates(state, x, labels, dropout_key, class_weights,
     acc = jnp.mean((jnp.argmax(logits, -1) == ref_labels)
                    .astype(jnp.float32))
     return new_state, {"loss": loss, "accuracy": acc}
+
+
+def _accum_loss_and_updates(state, x, labels, dropout_key, class_weights,
+                            label_smoothing, dropout_rate, labels_b, lam,
+                            grad_accum: int, data_shards: int):
+    """Gradient accumulation: ONE optimizer update from ``grad_accum``
+    sequential micro-batch forward/backward passes inside the jitted step.
+
+    The effective optimization batch stays ``B = x.shape[0]`` — this
+    bounds ACTIVATION memory (one micro-batch of activations lives at a
+    time, so B can exceed what a single backward fits in HBM), it does
+    not change the update semantics.  Three properties make the update
+    exact (to fp reassociation) whenever the forward is per-sample
+    independent — BN-free families, or BN in inference form:
+
+    - Micro-batch losses are normalized by the FULL batch's denominator
+      (batch size, or the class-weight sum over all B samples — both
+      known upfront since weights depend only on labels), so summed
+      micro-gradients equal the full-batch gradient to fp associativity.
+    - Chunking is shard-local: the batch is viewed as (D, k, B/(D*k))
+      with D = the mesh's 'data'-axis size on the already-sharded dim,
+      so micro-batch c is every device's c-th local slice — all devices
+      stay busy every micro-step and no cross-chip traffic is added
+      (same layout trick as ops/mix._partner).
+    - Augmentation and mixup/CutMix ran on the whole batch BEFORE the
+      split (callers), so the sample stream is bit-identical to
+      grad_accum=1; only the dropout stream differs (per-chunk fold_in).
+
+    BN batch statistics (where ``bn_stats_mode`` collects them) see
+    micro-batch moments sequentially — the standard semantics of every
+    framework's accumulation, documented in TrainConfig.
+    """
+    B = x.shape[0]
+    k = int(grad_accum)
+    D = max(int(data_shards), 1)
+    if B % (D * k):
+        raise ValueError(
+            f"grad_accum_steps={k} needs the batch ({B}) divisible by "
+            f"data_shards*grad_accum ({D}*{k})")
+    blk = B // (D * k)
+    x5 = x.reshape((D, k, blk) + x.shape[1:])
+    la3 = labels.reshape(D, k, blk)
+    lb3 = None if labels_b is None else labels_b.reshape(D, k, blk)
+
+    if class_weights is None:
+        denom_a = jnp.asarray(B, jnp.float32)
+        denom_b = denom_a
+    else:
+        wmap = jnp.asarray(class_weights, jnp.float32)
+        denom_a = jnp.maximum(jnp.sum(wmap[labels]), 1e-8)
+        denom_b = None if labels_b is None else \
+            jnp.maximum(jnp.sum(wmap[labels_b]), 1e-8)
+
+    def loss_fn(params, stats, xc, lac, lbc, chunk_key):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": stats},
+            xc, train=True, dropout_rate=dropout_rate,
+            mutable=["batch_stats"],
+            rngs={"dropout": chunk_key})
+        if lbc is None:
+            loss = weighted_cross_entropy(logits, lac, class_weights,
+                                          label_smoothing, denom=denom_a)
+        else:
+            from irp_tpu.models.classifier import \
+                mixed_weighted_cross_entropy
+            loss = mixed_weighted_cross_entropy(
+                logits, lac, lbc, lam, class_weights, label_smoothing,
+                denom_a=denom_a, denom_b=denom_b)
+        return loss, (logits, mutated)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(carry, c):
+        stats, gsum, loss_sum, correct = carry
+        xc = jax.lax.dynamic_index_in_dim(x5, c, axis=1, keepdims=False)
+        xc = xc.reshape((-1,) + xc.shape[2:])
+        lac = jax.lax.dynamic_index_in_dim(la3, c, axis=1,
+                                           keepdims=False).reshape(-1)
+        lbc = None if lb3 is None else jax.lax.dynamic_index_in_dim(
+            lb3, c, axis=1, keepdims=False).reshape(-1)
+        (loss, (logits, mutated)), grads = grad_fn(
+            state.params, stats, xc, lac, lbc,
+            jax.random.fold_in(dropout_key, c))
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        new_stats = mutated.get("batch_stats", stats)
+        ref = lac if lbc is None else jnp.where(lam >= 0.5, lac, lbc)
+        correct = correct + jnp.sum(
+            (jnp.argmax(logits, -1) == ref).astype(jnp.float32))
+        return (new_stats, gsum, loss_sum + loss.astype(jnp.float32),
+                correct), None
+
+    init = (state.batch_stats,
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    (final_stats, gsum, loss_sum, correct), _ = jax.lax.scan(
+        body, init, jnp.arange(k))
+    new_state = state.apply_gradients(gsum).with_batch_stats(final_stats)
+    return new_state, {"loss": loss_sum, "accuracy": correct / B}
 
 
 def _augment_mix(images_u8, labels, key, intensity, out_size, dtype,
@@ -118,12 +226,13 @@ def make_train_step(class_weights=None, intensity: str = "medium",
                     out_size: int = 224, compute_dtype=jnp.bfloat16,
                     label_smoothing: float = 0.0,
                     mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0,
-                    data_shards: int = 1):
+                    data_shards: int = 1, grad_accum: int = 1):
     """Streaming-batch train step: (state, images_u8, labels, key).
 
     ``data_shards``: the mesh's 'data'-axis size when the incoming batch
     is sharded over it (fit's stream mode) — keeps mixup/CutMix pairing
-    shard-local (no collective-permute)."""
+    shard-local (no collective-permute).  ``grad_accum``: sequential
+    micro-batch accumulation inside the step (_accum_loss_and_updates)."""
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
@@ -134,7 +243,9 @@ def make_train_step(class_weights=None, intensity: str = "medium",
             mixup_alpha, cutmix_alpha, data_shards=data_shards)
         return _loss_and_updates(state, x, y_a, dropout_key, cw,
                                  label_smoothing, dropout_rate,
-                                 labels_b=y_b, lam=lam)
+                                 labels_b=y_b, lam=lam,
+                                 grad_accum=grad_accum,
+                                 data_shards=data_shards)
 
     return train_step
 
@@ -159,7 +270,7 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
                         compute_dtype=jnp.bfloat16,
                         label_smoothing: float = 0.0,
                         mixup_alpha: float = 0.0,
-                        cutmix_alpha: float = 0.0):
+                        cutmix_alpha: float = 0.0, grad_accum: int = 1):
     """Single HBM-resident train step.
 
     Args of the returned fn:
@@ -187,7 +298,9 @@ def make_hbm_train_step(mesh, per_device_batch: int, class_weights=None,
             mixup_alpha, cutmix_alpha, data_shards=data_shards)
         return _loss_and_updates(state, x, y_a, dropout_key, cw,
                                  label_smoothing, dropout_rate,
-                                 labels_b=y_b, lam=lam)
+                                 labels_b=y_b, lam=lam,
+                                 grad_accum=grad_accum,
+                                 data_shards=data_shards)
 
     return train_step
 
@@ -198,7 +311,7 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                         label_smoothing: float = 0.0, unroll: int = 1,
                         aug_work_dtype=None,
                         mixup_alpha: float = 0.0,
-                        cutmix_alpha: float = 0.0):
+                        cutmix_alpha: float = 0.0, grad_accum: int = 1):
     """Scan a whole epoch of train steps inside ONE compiled program.
 
     The single-step path is dispatch-bound on this host (~ms of Python per
@@ -230,7 +343,9 @@ def make_hbm_epoch_step(mesh, per_device_batch: int, class_weights=None,
                                                    dropout_key, cw,
                                                    label_smoothing,
                                                    dropout_rate,
-                                                   labels_b=y_b, lam=lam)
+                                                   labels_b=y_b, lam=lam,
+                                                   grad_accum=grad_accum,
+                                                   data_shards=data_shards)
             return new_state, metrics
 
         num_steps = offsets.shape[0]
