@@ -160,6 +160,12 @@ def main():
     # BENCH_EMA_DECAY benches the per-step EMA weight average
     # (train/state.py::_params_ema); driver contract stays EMA-off.
     ema_decay = float(os.environ.get("BENCH_EMA_DECAY", "0"))
+    # BENCH_ACCUM_STEPS benches gradient accumulation (k micro-batches
+    # per optimizer step, train/step.py::_accum_loss_and_updates); the
+    # driver contract stays accum=1.  Throughput is reported in imgs/sec
+    # over the same total batch, so the number isolates the accumulation
+    # overhead (scan sequencing + k-way update sum) at constant work.
+    accum = int(os.environ.get("BENCH_ACCUM_STEPS", "1"))
     _PHASE = "backend-init"
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
@@ -218,7 +224,8 @@ def main():
                                compute_dtype=jnp.bfloat16, unroll=unroll,
                                aug_work_dtype=aug_dtype,
                                mixup_alpha=mixup_alpha,
-                               cutmix_alpha=cutmix_alpha)
+                               cutmix_alpha=cutmix_alpha,
+                               grad_accum=accum)
 
     key = jax.random.PRNGKey(1)
     # Warmup: compile + first execution (the first run of a fresh
@@ -315,6 +322,7 @@ def main():
         "mixup_alpha": mixup_alpha,
         "cutmix_alpha": cutmix_alpha,
         "ema_decay": ema_decay,
+        "grad_accum_steps": accum,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
     import math
