@@ -85,6 +85,12 @@ def main(argv=None):
     p.add_argument("--decoder", choices=["auto", "pil"], default="auto")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all visible devices")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation: average the softmax over "
+                   "the identity and the horizontal flip inside the one "
+                   "compiled forward (~2x device time per image; with "
+                   "--export the TTA forward is baked into the artifact). "
+                   "Not applicable when serving an existing .irpx")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -145,10 +151,16 @@ def main(argv=None):
             print(f"error: {e}", file=sys.stderr)
             return 2
 
+    if args.tta and args.weights.lower().endswith(".irpx"):
+        print("error: an .irpx program bakes TTA at export time; "
+              "either the artifact already scores with TTA (see its "
+              "metadata) or re-export from the .npz/.pth weights with "
+              "--tta --export", file=sys.stderr)
+        return 2
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size,
-                               pad_buckets=export_buckets)
+                               pad_buckets=export_buckets, tta=args.tta)
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if args.batch_size != predictor.batch_size:
             print(f"note: the artifact fixes batch_size="

@@ -64,6 +64,12 @@ def main(argv=None):
                         "alternative to --data-parallel (which shards "
                         "each batch and is the bulk-scoring choice); "
                         "the two are mutually exclusive")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation: average the softmax over "
+                        "the identity and the horizontal flip inside the "
+                        "compiled forward (~2x device time per dispatch). "
+                        "Needs the live weights; an .irpx bakes TTA at "
+                        "export time")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--allow-reload", action="store_true",
                    help="enable POST /reload {\"weights\": path}: hot-swap "
@@ -142,10 +148,16 @@ def main(argv=None):
             print(f"error: {e}", file=sys.stderr)
             return 2
 
+    if args.tta and args.weights.lower().endswith(".irpx"):
+        print("error: an .irpx program bakes TTA at export time; "
+              "either the artifact already scores with TTA (see its "
+              "metadata) or re-export from the .npz/.pth weights with "
+              "run_predict.py --tta --export", file=sys.stderr)
+        return 2
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size,
-                               pad_buckets=pad_buckets)
+                               pad_buckets=pad_buckets, tta=args.tta)
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if predictor.source_size != 256:
             print(f"error: this artifact accepts only "
@@ -197,11 +209,12 @@ def main(argv=None):
             # artifact (it may have a different class count/order) —
             # reload_weights adopts the artifact's own names or keeps
             # the served ones only when the count still fits
+            is_irpx = path.lower().endswith(".irpx")
             return load_predictor(
                 path, batch_size=args.batch_size, mesh=mesh,
                 image_size=args.image_size,
-                pad_buckets=(None if path.lower().endswith(".irpx")
-                             else pad_buckets))
+                pad_buckets=None if is_irpx else pad_buckets,
+                tta=False if is_irpx else args.tta)
     server = make_server(served, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
                          verbose=args.verbose, loader=loader,

@@ -163,6 +163,9 @@ def export_predictor(predictor, path: str, source_size: Optional[int] = None,
         "gradcam_batch_size": cam_batch,  # None = no explain program
         "pad_buckets": (list(predictor.pad_buckets)
                         if predictor.pad_buckets is not None else None),
+        # TTA is baked into the serialized forward itself; recorded so
+        # consumers can tell how the artifact scores (infer.py Predictor)
+        "tta": bool(predictor.tta),
         "jax_version": jax.__version__,
     }
     tmp = path + ".tmp"

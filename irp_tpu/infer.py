@@ -258,6 +258,15 @@ class Predictor:
     # (lazily, first hit; minutes-scale each on a cold TPU — opt in for
     # online serving, leave None for bulk scoring).
     pad_buckets: Optional[Tuple[int, ...]] = None
+    # Test-time augmentation: average the softmax over the identity and
+    # the horizontal flip INSIDE the one compiled program (the flip is a
+    # free on-device relayout; the second forward is the only cost —
+    # ~2x device time per image for the classic ~0.1-0.5pt top-1 bump).
+    # Classes must be flip-invariant (true of Animals-10 and anything
+    # trained with random flips in the augmentation pipeline,
+    # ops/preprocess.py).  Baked into .irpx exports like the rest of the
+    # forward.
+    tta: bool = False
     _forward: object = field(default=None, repr=False)
     _batch_sharding: object = field(default=None, repr=False)
     # a deserialized Grad-CAM program riding in a .irpx artifact
@@ -287,6 +296,11 @@ class Predictor:
             # irp_tpu/export.py): batch shape, preprocessing, and platform
             # are baked into the program, so there is nothing to build —
             # and mesh re-placement cannot apply to it.
+            if self.tta:
+                raise ValueError(
+                    "tta cannot be applied to a prebuilt forward: an "
+                    ".irpx program bakes TTA at export time — export from "
+                    "a Predictor built with tta=True instead")
             if self.mesh is not None:
                 raise ValueError(
                     "a prebuilt-forward predictor cannot take a mesh: the "
@@ -321,13 +335,25 @@ class Predictor:
 
         apply_fn = self.model.apply
 
+        use_tta = bool(self.tta)
+
         @jax.jit
         def forward(params, batch_stats, images_u8):
             x = eval_preprocess_batch(images_u8, out_size, dtype,
                                       IMAGENET_MEAN, IMAGENET_STD)
-            logits = apply_fn({"params": params, "batch_stats": batch_stats},
-                              x, train=False)
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+            def probs(xi):
+                logits = apply_fn(
+                    {"params": params, "batch_stats": batch_stats},
+                    xi, train=False)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+            p = probs(x)
+            if use_tta:
+                # flip the W axis of the preprocessed crop (the center
+                # crop is symmetric, so this equals flipping the source)
+                p = 0.5 * (p + probs(jnp.flip(x, axis=2)))
+            return p
 
         self._forward = forward
 
@@ -598,7 +624,8 @@ def replicate_predictor(pred: Predictor, devices=None,
             batch_stats=jax.device_put(pred.batch_stats, d),
             class_names=pred.class_names,
             batch_size=pred.batch_size,
-            pad_buckets=pred.pad_buckets))
+            pad_buckets=pred.pad_buckets,
+            tta=pred.tta))
     return replicas
 
 
@@ -616,7 +643,8 @@ def predictor_device(pred: Predictor):
 def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                    cfg: Optional[ModelConfig] = None, batch_size: int = 256,
                    mesh=None, image_size: Optional[int] = None,
-                   pad_buckets: Optional[Sequence[int]] = None) -> Predictor:
+                   pad_buckets: Optional[Sequence[int]] = None,
+                   tta: bool = False) -> Predictor:
     """Predictor from in-memory variables {'params':..., 'batch_stats':...}.
 
     ``image_size`` sets the eval crop when ``cfg`` is inferred from the
@@ -635,7 +663,8 @@ def make_predictor(variables: dict, class_names: Optional[Sequence[str]] = None,
                      class_names=class_names, batch_size=batch_size,
                      mesh=mesh,
                      pad_buckets=(tuple(pad_buckets) if pad_buckets
-                                  is not None else None))
+                                  is not None else None),
+                     tta=tta)
 
 
 def load_predictor(weights_path: str,
@@ -643,7 +672,8 @@ def load_predictor(weights_path: str,
                    cfg: Optional[ModelConfig] = None,
                    batch_size: int = 256, mesh=None,
                    image_size: Optional[int] = None,
-                   pad_buckets: Optional[Sequence[int]] = None) -> Predictor:
+                   pad_buckets: Optional[Sequence[int]] = None,
+                   tta: bool = False) -> Predictor:
     """Predictor from a weights artifact.
 
     ``.npz`` = save_weights_npz output (the final trainer's canonical
@@ -674,6 +704,11 @@ def load_predictor(weights_path: str,
                 "export time (export a predictor built with "
                 "pad_buckets=...); load-time buckets need the live "
                 "weights (.npz/.pth)")
+        if tta:
+            raise ValueError(
+                "an .irpx program bakes TTA at export time (export a "
+                "predictor built with tta=True); load-time tta needs the "
+                "live weights (.npz/.pth)")
         return load_exported_predictor(weights_path,
                                        class_names=class_names)
     if ext == ".npz":
@@ -696,7 +731,8 @@ def load_predictor(weights_path: str,
             "checkpoint; serve a trained final-weights artifact instead")
     return make_predictor(variables, class_names=class_names, cfg=cfg,
                           batch_size=batch_size, mesh=mesh,
-                          image_size=image_size, pad_buckets=pad_buckets)
+                          image_size=image_size, pad_buckets=pad_buckets,
+                          tta=tta)
 
 
 def load_class_names(spec: str) -> List[str]:

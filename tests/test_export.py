@@ -436,3 +436,28 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
     rc = run_serve.main(["--weights", art48, "--cpu", "--port", "0"])
     assert rc == 2
     assert "256x256" in capsys.readouterr().err
+
+
+def test_export_bakes_tta(images48, tmp_path):
+    """A tta=True predictor's flip-averaged forward rides into the
+    artifact (it IS the serialized program) and the meta records it;
+    load-time tta on an .irpx is rejected (bake-time only)."""
+    from irp_tpu.export import (export_predictor, load_exported_predictor,
+                                read_export_meta)
+    from irp_tpu.infer import load_predictor, make_predictor
+
+    _, variables = init_classifier(TINY, jax.random.PRNGKey(0),
+                                   image_size=32)
+    tta_pred = make_predictor(variables, cfg=TINY, batch_size=4, tta=True)
+    path = export_predictor(tta_pred, str(tmp_path / "t.irpx"),
+                            source_size=48, gradcam=False)
+    assert read_export_meta(path)["tta"] is True
+    loaded = load_exported_predictor(path)
+    np.testing.assert_array_equal(loaded.predict_probs(images48),
+                                  tta_pred.predict_probs(images48))
+    # and the TTA program differs from the plain one on asymmetric input
+    plain = make_predictor(variables, cfg=TINY, batch_size=4)
+    assert np.abs(loaded.predict_probs(images48)
+                  - plain.predict_probs(images48)).max() > 1e-7
+    with pytest.raises(ValueError, match="tta|TTA"):
+        load_predictor(path, tta=True)

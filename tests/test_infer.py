@@ -410,3 +410,97 @@ def test_run_predict_cli_class_count_mismatch(tiny_model, tmp_path, capsys):
                            "--classes", "a,b", "--cpu"])
     assert rc == 2
     assert "class names" in capsys.readouterr().err
+
+
+# ---- test-time augmentation (Predictor(tta=True)) ----
+
+
+def _direct_probs_flipped(model, variables, images_u8):
+    """The TTA contract by hand: flip the PREPROCESSED crop's W axis."""
+    import jax.numpy as jnp
+
+    from irp_tpu.ops.preprocess import eval_preprocess_batch
+
+    x = eval_preprocess_batch(images_u8, 32, jnp.float32)
+    logits = model.apply(variables, jnp.flip(x, axis=2), train=False)
+    return np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+
+
+def test_tta_is_flip_average(tiny_model, images48):
+    from irp_tpu.infer import make_predictor
+
+    model, variables = tiny_model
+    plain = _direct_probs(model, variables, images48)
+    flipped = _direct_probs_flipped(model, variables, images48)
+    got = make_predictor(variables, cfg=TINY, batch_size=8,
+                         tta=True).predict_probs(images48)
+    np.testing.assert_allclose(got, 0.5 * (plain + flipped),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-5)
+    # and TTA genuinely changes the scores on an asymmetric input
+    assert np.abs(got - plain).max() > 1e-7
+
+
+def test_tta_noop_on_symmetric_images(tiny_model, images48):
+    from irp_tpu.infer import make_predictor
+
+    _, variables = tiny_model
+    sym = np.concatenate([images48[:, :, :24], images48[:, :, :24][:, :, ::-1]],
+                         axis=2)
+    plain = make_predictor(variables, cfg=TINY,
+                           batch_size=8).predict_probs(sym)
+    tta = make_predictor(variables, cfg=TINY, batch_size=8,
+                         tta=True).predict_probs(sym)
+    np.testing.assert_allclose(tta, plain, rtol=1e-5, atol=1e-6)
+
+
+def test_tta_rejected_on_prebuilt_forward(tiny_model):
+    from irp_tpu.infer import Predictor
+
+    model, variables = tiny_model
+    with pytest.raises(ValueError, match="export"):
+        Predictor(model=model, params=variables["params"],
+                  batch_stats=variables["batch_stats"], tta=True,
+                  _forward=lambda *a: None)
+
+
+def test_tta_survives_replication(tiny_model, images48):
+    from irp_tpu.infer import make_predictor, replicate_predictor
+
+    _, variables = tiny_model
+    base = make_predictor(variables, cfg=TINY, batch_size=8, tta=True)
+    want = base.predict_probs(images48)
+    for rep in replicate_predictor(base, n=1):
+        assert rep.tta
+        np.testing.assert_allclose(rep.predict_probs(images48), want,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_run_predict_cli_tta(tiny_model, tmp_path, capsys):
+    import run_predict
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    _, variables = tiny_model
+    weights = save_weights_npz(str(tmp_path / "w.npz"),
+                               variables["params"],
+                               variables["batch_stats"],
+                               meta={"image_size": 32})
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    Image.fromarray(rng.integers(0, 256, (80, 80, 3), np.uint8)).save(
+        img_dir / "x.jpg")
+    out = str(tmp_path / "preds.csv")
+    rc = run_predict.main(["--weights", weights, "--images", str(img_dir),
+                           "--out", out, "--cpu", "--batch-size", "2",
+                           "--tta"])
+    assert rc == 0
+    assert len(list(csv.DictReader(open(out)))) == 1
+    capsys.readouterr()
+    # --tta on an .irpx is a bake-time property: clean rc=2, not a crash
+    fake = tmp_path / "m.irpx"
+    fake.write_bytes(b"zip-not-really")
+    rc = run_predict.main(["--weights", str(fake), "--images", str(img_dir),
+                           "--cpu", "--tta"])
+    assert rc == 2
+    assert "export" in capsys.readouterr().err
