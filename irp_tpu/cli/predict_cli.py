@@ -152,11 +152,19 @@ def main(argv=None):
             return 2
 
     if args.tta and args.weights.lower().endswith(".irpx"):
-        print("error: an .irpx program bakes TTA at export time; "
-              "either the artifact already scores with TTA (see its "
-              "metadata) or re-export from the .npz/.pth weights with "
-              "--tta --export", file=sys.stderr)
-        return 2
+        # bake-time property: fine when the artifact already flip-
+        # averages (a no-op), a clean error when it does not
+        from irp_tpu.export import read_export_meta
+        try:
+            baked_tta = bool(read_export_meta(args.weights).get("tta"))
+        except ValueError as e:  # unreadable / non-irpx artifact
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if not baked_tta:
+            print("error: this .irpx was exported without TTA; an .irpx "
+                  "program bakes TTA at export time — re-export from the "
+                  ".npz/.pth weights with --tta --export", file=sys.stderr)
+            return 2
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size,
@@ -228,6 +236,12 @@ def main(argv=None):
             # argmax differently on near-ties).  Chunked like
             # predict_paths — host memory stays O(chunk), overlays
             # stream out as each chunk finishes.
+            # TTA predictors: the explain program is single-view, so the
+            # CSV scores come from the predictor's own (flip-averaged)
+            # forward and the overlay is pinned to that reported class
+            # via class_idx — the scores honor the TTA contract and the
+            # map explains exactly the reported class, at the cost of one
+            # extra forward per chunk.
             from PIL import Image
 
             from irp_tpu.explain import (GradCAM, center_crop_u8,
@@ -242,8 +256,16 @@ def main(argv=None):
             for start in range(0, len(paths), chunk):
                 part = paths[start:start + chunk]
                 decoded = predictor.decode_paths(part, decoder=args.decoder)
-                cams, logits = gradcam.explain(decoded)
-                probs_parts.append(softmax_np(logits))
+                if predictor.tta:
+                    part_probs = predictor.predict_probs(decoded)
+                    cams, _ = gradcam.explain(
+                        decoded,
+                        class_idx=np.argmax(part_probs, axis=1).astype(
+                            np.int32))
+                    probs_parts.append(part_probs)
+                else:
+                    cams, logits = gradcam.explain(decoded)
+                    probs_parts.append(softmax_np(logits))
                 cropped = center_crop_u8(decoded, crop)
                 for j, key in enumerate(part):
                     # index prefix: distinct source dirs may share

@@ -149,11 +149,20 @@ def main(argv=None):
             return 2
 
     if args.tta and args.weights.lower().endswith(".irpx"):
-        print("error: an .irpx program bakes TTA at export time; "
-              "either the artifact already scores with TTA (see its "
-              "metadata) or re-export from the .npz/.pth weights with "
-              "run_predict.py --tta --export", file=sys.stderr)
-        return 2
+        # bake-time property: fine when the artifact already flip-
+        # averages (a no-op), a clean error when it does not
+        from irp_tpu.export import read_export_meta
+        try:
+            baked_tta = bool(read_export_meta(args.weights).get("tta"))
+        except ValueError as e:  # unreadable / non-irpx artifact
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if not baked_tta:
+            print("error: this .irpx was exported without TTA; an .irpx "
+                  "program bakes TTA at export time — re-export from the "
+                  ".npz/.pth weights with run_predict.py --tta --export",
+                  file=sys.stderr)
+            return 2
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,
                                image_size=args.image_size,
@@ -210,11 +219,14 @@ def main(argv=None):
             # reload_weights adopts the artifact's own names or keeps
             # the served ones only when the count still fits
             is_irpx = path.lower().endswith(".irpx")
+            # tta travels as-launched: live weights apply it, an .irpx
+            # must bake it (load_predictor errors otherwise and the old
+            # model keeps serving — the reload handler maps that to 400)
             return load_predictor(
                 path, batch_size=args.batch_size, mesh=mesh,
                 image_size=args.image_size,
                 pad_buckets=None if is_irpx else pad_buckets,
-                tta=False if is_irpx else args.tta)
+                tta=args.tta)
     server = make_server(served, host=args.host, port=args.port,
                          window_ms=args.window_ms, decoder=args.decoder,
                          verbose=args.verbose, loader=loader,

@@ -276,6 +276,9 @@ def load_exported_predictor(path: str,
         batch_size=int(meta["batch_size"]),
         source_size=int(meta["source_size"]),
         pad_buckets=tuple(int(b) for b in buckets) if buckets else None,
+        # informational: the program itself bakes (or lacks) the flip
+        # average — this just lets callers see how the artifact scores
+        tta=bool(meta.get("tta", False)),
         _forward=forward,
         _cam_call=jax.jit(jax_export.deserialize(explain).call)
         if has_cam else None,

@@ -295,12 +295,10 @@ class Predictor:
             # A prebuilt program (e.g. a deserialized jax.export artifact,
             # irp_tpu/export.py): batch shape, preprocessing, and platform
             # are baked into the program, so there is nothing to build —
-            # and mesh re-placement cannot apply to it.
-            if self.tta:
-                raise ValueError(
-                    "tta cannot be applied to a prebuilt forward: an "
-                    ".irpx program bakes TTA at export time — export from "
-                    "a Predictor built with tta=True instead")
+            # and mesh re-placement cannot apply to it.  ``tta`` here is
+            # INFORMATIONAL: it records whether the baked program already
+            # flip-averages (the .irpx loader sets it from the artifact's
+            # metadata) — it cannot add TTA to a program that lacks it.
             if self.mesh is not None:
                 raise ValueError(
                     "a prebuilt-forward predictor cannot take a mesh: the "
@@ -704,13 +702,19 @@ def load_predictor(weights_path: str,
                 "export time (export a predictor built with "
                 "pad_buckets=...); load-time buckets need the live "
                 "weights (.npz/.pth)")
-        if tta:
-            raise ValueError(
-                "an .irpx program bakes TTA at export time (export a "
-                "predictor built with tta=True); load-time tta needs the "
-                "live weights (.npz/.pth)")
-        return load_exported_predictor(weights_path,
+        pred = load_exported_predictor(weights_path,
                                        class_names=class_names)
+        # tta is a bake-time property of an .irpx: the loaded predictor's
+        # .tta reflects the artifact's metadata.  Requesting it at load
+        # time is fine when the artifact already bakes it (a no-op), and
+        # an error when it does not (TTA cannot be added to a compiled
+        # program).
+        if tta and not pred.tta:
+            raise ValueError(
+                "this .irpx was exported without TTA; an .irpx program "
+                "bakes TTA at export time — re-export from the .npz/.pth "
+                "weights with a predictor built with tta=True")
+        return pred
     if ext == ".npz":
         from irp_tpu.train.checkpoint import load_weights_npz
         params, batch_stats, meta = load_weights_npz(weights_path,

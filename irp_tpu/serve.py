@@ -580,10 +580,22 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(400, {"error": f"class must be in "
                                                f"[0, {num_classes})"})
                 return
-            cams, logits = gc.explain(
-                images, class_idx=(None if explain_cls is None
-                                   else np.full((images.shape[0],),
-                                                explain_cls, np.int32)))
+            if predictor.tta:
+                # the explain program is single-view; a TTA predictor's
+                # reported scores must come from its own (flip-averaged)
+                # forward, with the overlay pinned to the reported class
+                probs = predictor.predict_probs(images)
+                cls = (np.argmax(probs, axis=1).astype(np.int32)
+                       if explain_cls is None
+                       else np.full((images.shape[0],), explain_cls,
+                                    np.int32))
+                cams, _ = gc.explain(images, class_idx=cls)
+            else:
+                cams, logits = gc.explain(
+                    images, class_idx=(None if explain_cls is None
+                                       else np.full((images.shape[0],),
+                                                    explain_cls,
+                                                    np.int32)))
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             self._send_json(500, {"error": f"explain failed: {e}"})
             return
@@ -593,7 +605,8 @@ class _Handler(BaseHTTPRequestHandler):
                                    (time.monotonic() - t0) * 1e3)
         from irp_tpu.infer import softmax_np
 
-        probs = softmax_np(logits)
+        if not predictor.tta:
+            probs = softmax_np(logits)
         crop = predictor.model.config.image_size
         cropped = center_crop_u8(images, crop)
         names = predictor.class_names

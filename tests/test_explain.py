@@ -235,3 +235,45 @@ def test_run_predict_gradcam_cli(tmp_path, predictor):
     rc = run_predict.main(["--weights", str(weights), "--shards", "x*.tar",
                            "--cpu", "--gradcam", str(cam_dir)])
     assert rc == 2
+
+
+def test_run_predict_gradcam_tta_scores_match_tta_contract(tmp_path,
+                                                           predictor):
+    """--tta --gradcam must report the SAME scores as --tta alone: the
+    CSV comes from the flip-averaged forward, not the explain program's
+    single-view logits, and the overlay is pinned to that reported
+    class."""
+    import csv as csvmod
+
+    from PIL import Image
+
+    from irp_tpu.train.checkpoint import save_weights_npz
+
+    import run_predict
+
+    weights = tmp_path / "w.npz"
+    save_weights_npz(str(weights), predictor.params, predictor.batch_stats,
+                     meta={"image_size": 64})
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (96, 96, 3),
+                                     dtype=np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+    out_plain = tmp_path / "tta.csv"
+    rc = run_predict.main([
+        "--weights", str(weights), "--images", str(img_dir),
+        "--classes", "cat,dog,fox", "--cpu", "--tta",
+        "--out", str(out_plain)])
+    assert rc == 0
+    out_cam = tmp_path / "tta_cam.csv"
+    rc = run_predict.main([
+        "--weights", str(weights), "--images", str(img_dir),
+        "--classes", "cat,dog,fox", "--cpu", "--tta",
+        "--gradcam", str(tmp_path / "cams"),
+        "--out", str(out_cam)])
+    assert rc == 0
+    rows_plain = list(csvmod.DictReader(open(out_plain)))
+    rows_cam = list(csvmod.DictReader(open(out_cam)))
+    assert rows_plain == rows_cam  # identical labels AND probabilities

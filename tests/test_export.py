@@ -441,7 +441,9 @@ def test_run_predict_export_cli_e2e(tmp_path, capsys):
 def test_export_bakes_tta(images48, tmp_path):
     """A tta=True predictor's flip-averaged forward rides into the
     artifact (it IS the serialized program) and the meta records it;
-    load-time tta on an .irpx is rejected (bake-time only)."""
+    the loaded predictor reports tta=True (informational), load-time
+    tta=True is accepted as a no-op on a TTA-baked artifact, and is
+    rejected on one exported without TTA (bake-time only)."""
     from irp_tpu.export import (export_predictor, load_exported_predictor,
                                 read_export_meta)
     from irp_tpu.infer import load_predictor, make_predictor
@@ -453,11 +455,21 @@ def test_export_bakes_tta(images48, tmp_path):
                             source_size=48, gradcam=False)
     assert read_export_meta(path)["tta"] is True
     loaded = load_exported_predictor(path)
+    assert loaded.tta  # the artifact's metadata surfaces on the predictor
     np.testing.assert_array_equal(loaded.predict_probs(images48),
                                   tta_pred.predict_probs(images48))
     # and the TTA program differs from the plain one on asymmetric input
     plain = make_predictor(variables, cfg=TINY, batch_size=4)
     assert np.abs(loaded.predict_probs(images48)
                   - plain.predict_probs(images48)).max() > 1e-7
+    # load-time tta=True on a TTA-baked artifact: accepted (a no-op)
+    again = load_predictor(path, tta=True)
+    assert again.tta
+    np.testing.assert_array_equal(again.predict_probs(images48),
+                                  tta_pred.predict_probs(images48))
+    # ... but rejected on an artifact exported WITHOUT TTA
+    plain_path = export_predictor(plain, str(tmp_path / "p.irpx"),
+                                  source_size=48, gradcam=False)
+    assert not load_predictor(plain_path).tta
     with pytest.raises(ValueError, match="tta|TTA"):
-        load_predictor(path, tta=True)
+        load_predictor(plain_path, tta=True)

@@ -454,14 +454,19 @@ def test_tta_noop_on_symmetric_images(tiny_model, images48):
     np.testing.assert_allclose(tta, plain, rtol=1e-5, atol=1e-6)
 
 
-def test_tta_rejected_on_prebuilt_forward(tiny_model):
+def test_tta_informational_on_prebuilt_forward(tiny_model):
+    """On a prebuilt forward (an .irpx program), tta records what the
+    baked program does (the loader sets it from artifact metadata) —
+    construction must accept it without trying to rebuild anything."""
     from irp_tpu.infer import Predictor
 
     model, variables = tiny_model
-    with pytest.raises(ValueError, match="export"):
-        Predictor(model=model, params=variables["params"],
+    sentinel = lambda *a: None  # noqa: E731
+    p = Predictor(model=model, params=variables["params"],
                   batch_stats=variables["batch_stats"], tta=True,
-                  _forward=lambda *a: None)
+                  _forward=sentinel)
+    assert p.tta
+    assert p._forward is sentinel  # the prebuilt program was kept as-is
 
 
 def test_tta_survives_replication(tiny_model, images48):
@@ -497,10 +502,11 @@ def test_run_predict_cli_tta(tiny_model, tmp_path, capsys):
     assert rc == 0
     assert len(list(csv.DictReader(open(out)))) == 1
     capsys.readouterr()
-    # --tta on an .irpx is a bake-time property: clean rc=2, not a crash
+    # --tta + an unreadable .irpx: clean rc=2, not a crash (the CLI
+    # consults the artifact's metadata to see whether TTA is baked)
     fake = tmp_path / "m.irpx"
     fake.write_bytes(b"zip-not-really")
     rc = run_predict.main(["--weights", str(fake), "--images", str(img_dir),
                            "--cpu", "--tta"])
     assert rc == 2
-    assert "export" in capsys.readouterr().err
+    assert "irpx" in capsys.readouterr().err

@@ -495,6 +495,30 @@ def test_explain_specific_class_and_validation(server):
     assert exc.value.code == 400
 
 
+def test_explain_matches_predict_under_tta(predictor):
+    """A TTA daemon's /explain must report the flip-averaged scores
+    /predict serves, not the explain program's single-view logits."""
+    from irp_tpu.infer import make_predictor
+    from irp_tpu.serve import make_server
+
+    tta_pred = make_predictor(
+        {"params": predictor.params, "batch_stats": predictor.batch_stats},
+        cfg=TINY, batch_size=8, class_names=["cat", "dog", "fox"],
+        tta=True)
+    srv = make_server(tta_pred, port=0, window_ms=5.0)
+    srv.start()
+    try:
+        body = _jpeg_bytes(np.random.default_rng(21))
+        _, pred = _post(srv, "/predict?topk=3", body, "image/jpeg")
+        _, exp = _post(srv, "/explain?topk=3", body, "image/jpeg")
+        p, e = pred["predictions"][0], exp["explanations"][0]
+        assert e["label"] == p["label"]
+        assert e["explained_class"] == p["label"]
+        assert e["topk"] == p["topk"]  # same probs to 6 decimals
+    finally:
+        srv.stop()
+
+
 def test_unknown_paths_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(_url(server, "/nope"), timeout=30)
