@@ -166,6 +166,9 @@ def main():
     # over the same total batch, so the number isolates the accumulation
     # overhead (scan sequencing + k-way update sum) at constant work.
     accum = int(os.environ.get("BENCH_ACCUM_STEPS", "1"))
+    # BENCH_OPTIMIZER benches the optimizer families (adam | adamw | sgd,
+    # train/state.py::make_optimizer); driver contract stays torch-Adam.
+    optimizer = os.environ.get("BENCH_OPTIMIZER", "adam")
     _PHASE = "backend-init"
     mesh = _init_backend_with_retry(make_mesh, MeshConfig(data=-1, model=1))
     _hb(f"backend up: {jax.default_backend()} x{len(jax.devices())}")
@@ -196,7 +199,8 @@ def main():
                                 bn_stats_mode=bn_mode,
                                 remat_trainable_blocks=remat)
     train_cfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
-                            batch_size=batch_size, ema_decay=ema_decay)
+                            batch_size=batch_size, ema_decay=ema_decay,
+                            optimizer=optimizer)
 
     _PHASE = "dataset-upload"
     rng = np.random.default_rng(0)
@@ -323,6 +327,7 @@ def main():
         "cutmix_alpha": cutmix_alpha,
         "ema_decay": ema_decay,
         "grad_accum_steps": accum,
+        "optimizer": optimizer,
         "elapsed_secs": round(time.monotonic() - _T0, 1),
     }
     import math

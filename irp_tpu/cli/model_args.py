@@ -92,6 +92,14 @@ def add_train_recipe_args(parser) -> None:
                              "(per-step, inside the compiled train step); "
                              "val/best/returned weights use the EMA tree. "
                              "0 = off; typical 0.999-0.9999")
+    parser.add_argument("--optimizer", choices=("adam", "adamw", "sgd"),
+                        default="adam",
+                        help="optimizer family: 'adam' = torch-Adam "
+                             "parity with coupled L2 (the reference's, "
+                             "model.py:57-58); 'adamw' = decoupled decay "
+                             "(standard for vit/convnext); 'sgd' = "
+                             "momentum 0.9. All share the OneCycle "
+                             "schedule and searched lr/wd")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="gradient accumulation: run each optimizer "
                              "step as N sequential micro-batches inside "
@@ -111,4 +119,5 @@ def build_train_base(args):
                        cutmix_alpha=args.cutmix_alpha,
                        label_smoothing=args.label_smoothing,
                        ema_decay=args.ema_decay,
-                       grad_accum_steps=args.grad_accum)
+                       grad_accum_steps=args.grad_accum,
+                       optimizer=args.optimizer)

@@ -164,6 +164,14 @@ class TrainConfig:
 
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
+    # Optimizer family (reference model.py:57-58 hardcodes torch Adam over
+    # the requires_grad params — 'adam' reproduces it exactly, coupled L2
+    # and all).  'adamw' = decoupled weight decay (torch AdamW semantics;
+    # the standard choice for the vit/convnext families), 'sgd' = momentum
+    # 0.9 with coupled L2 (torch SGD semantics).  All three share the
+    # OneCycle schedule, the trainable-param masking, and runtime-injected
+    # lr/wd (zero recompiles across a sweep's trials).
+    optimizer: str = "adam"  # adam | adamw | sgd
     batch_size: int = 32
     max_epochs: int = 15
     patience: int = 4

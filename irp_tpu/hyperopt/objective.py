@@ -169,6 +169,8 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                   if v}  # off-by-default knobs: log only when set
         if ctx.train_base.grad_accum_steps > 1:
             recipe["grad_accum_steps"] = ctx.train_base.grad_accum_steps
+        if ctx.train_base.optimizer != "adam":
+            recipe["optimizer"] = ctx.train_base.optimizer
         run.log_params({**hp, **recipe, "k_folds": k})
 
         fold_accuracies: List[float] = []

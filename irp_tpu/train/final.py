@@ -176,6 +176,8 @@ def train_final_model(study, train_cached: CachedDataset,
                   if v}  # off-by-default knobs: log only when set
         if train_cfg.grad_accum_steps > 1:
             recipe["grad_accum_steps"] = train_cfg.grad_accum_steps
+        if train_cfg.optimizer != "adam":
+            recipe["optimizer"] = train_cfg.optimizer
         run.log_params({**bp, **recipe, "final_epochs": final_epochs,
                         "mode": mode,
                         "bn_stats_mode": model_cfg.bn_stats_mode})

@@ -164,27 +164,51 @@ _TX_MEMO: Dict[Tuple, optax.GradientTransformation] = {}
 
 def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
                    steps_per_epoch: int) -> optax.GradientTransformation:
-    """torch-Adam-equivalent chain, masked to trainable params, with lr and
-    weight decay as injected (runtime) hyperparameters."""
+    """torch-equivalent optimizer chain (Adam by default, reference
+    model.py:57-58; 'adamw'/'sgd' per TrainConfig.optimizer), masked to
+    trainable params, with lr and weight decay as injected (runtime)
+    hyperparameters."""
     if train_cfg.scheduler_step == "epoch":
         total = train_cfg.max_epochs
     else:
         total = steps_per_epoch * train_cfg.max_epochs
+    opt_name = train_cfg.optimizer
+    if opt_name not in ("adam", "adamw", "sgd"):
+        raise ValueError(f"TrainConfig.optimizer must be one of "
+                         f"'adam'/'adamw'/'sgd', got {opt_name!r}")
     # family/num_layers matter: the memoized mask closure resolves
     # trainable stages per family ('layer4' auto-maps for ViT).
     key = (total, steps_per_epoch, train_cfg.scheduler_step,
            model_cfg.trainable_stages, model_cfg.head_only,
            model_cfg.family, model_cfg.num_layers,
-           float(train_cfg.ema_decay))
+           float(train_cfg.ema_decay), opt_name)
     tx = _TX_MEMO.get(key)
     if tx is None:
         shape = _onecycle_shape(total, steps_per_epoch,
                                 train_cfg.scheduler_step)
 
         def factory(learning_rate, weight_decay):
+            if opt_name == "adamw":
+                # decoupled decay (torch AdamW: p -= lr*(adam_dir + wd*p))
+                direction = [
+                    optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                    optax.add_decayed_weights(weight_decay),
+                ]
+            elif opt_name == "sgd":
+                # torch SGD(momentum=0.9, dampening=0) with coupled L2:
+                # buf = 0.9*buf + (grad + wd*p); p -= lr*buf
+                direction = [
+                    optax.add_decayed_weights(weight_decay),
+                    optax.trace(decay=0.9, nesterov=False),
+                ]
+            else:
+                # torch Adam: coupled L2 enters the moments
+                direction = [
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                ]
             return optax.chain(
-                optax.add_decayed_weights(weight_decay),  # coupled L2
-                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                *direction,
                 optax.scale_by_schedule(shape),           # peak-1 curve
                 optax.scale(-1.0 * learning_rate),        # peak lr
             )

@@ -63,6 +63,88 @@ def test_matches_torch_adam_coupled_wd():
     np.testing.assert_allclose(ours, tw2.detach().numpy(), atol=1e-6)
 
 
+def _run_chain_vs_torch(opt_name, make_torch_opt):
+    """Shared trajectory harness: our masked chain vs a torch optimizer
+    fed the identical per-step OneCycle lr."""
+    torch = pytest.importorskip("torch")
+
+    lr, wd = 1e-2, 1e-3
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    grads = [np.array([[0.1, -0.2], [0.3, 0.05]], np.float32),
+             np.array([[-0.05, 0.4], [0.2, -0.1]], np.float32),
+             np.array([[0.02, 0.1], [-0.3, 0.2]], np.float32)]
+    mcfg = ModelConfig(depth=18, num_classes=2)
+    tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
+                       max_epochs=1, optimizer=opt_name)
+    tx = make_optimizer(tcfg, mcfg, steps_per_epoch=100)
+    params = _tiny_params()
+    opt_state = set_opt_hyperparams(tx.init(params), lr, wd)
+
+    from irp_tpu.ops.schedules import onecycle_cosine
+
+    shape = onecycle_cosine(1.0, 100)
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = make_torch_opt(torch, [tw], lr, wd)
+    import optax
+
+    for i, g in enumerate(grads):
+        for group in topt.param_groups:
+            group["lr"] = lr * float(shape(i))
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+        updates, opt_state = tx.update(
+            {"head_dense1": {"kernel": jnp.array(g)}}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["head_dense1"]["kernel"]),
+                               tw.detach().numpy(), atol=1e-6)
+
+
+def test_matches_torch_sgd_momentum():
+    """optimizer='sgd' must reproduce torch.optim.SGD(momentum=0.9,
+    weight_decay) step for step (coupled L2 enters the momentum buffer)."""
+    _run_chain_vs_torch(
+        "sgd", lambda torch, ps, lr, wd: torch.optim.SGD(
+            ps, lr=lr, momentum=0.9, weight_decay=wd))
+
+
+def test_matches_torch_adamw_decoupled():
+    """optimizer='adamw' must reproduce torch.optim.AdamW (decoupled
+    decay: wd*p joins the update AFTER the moments, scaled by lr)."""
+    _run_chain_vs_torch(
+        "adamw", lambda torch, ps, lr, wd: torch.optim.AdamW(
+            ps, lr=lr, weight_decay=wd))
+
+
+def test_optimizer_choice_is_structural_and_validated():
+    mcfg = ModelConfig(depth=18, num_classes=2)
+
+    def cfg(name):
+        return TrainConfig(learning_rate=1e-3, weight_decay=1e-4,
+                           batch_size=8, max_epochs=5, optimizer=name)
+
+    a = make_optimizer(cfg("adam"), mcfg, 10)
+    b = make_optimizer(cfg("sgd"), mcfg, 10)
+    c = make_optimizer(cfg("adamw"), mcfg, 10)
+    assert a is not b and b is not c and a is not c
+    assert make_optimizer(cfg("sgd"), mcfg, 10) is b  # memoized
+    with pytest.raises(ValueError, match="optimizer"):
+        make_optimizer(cfg("rmsprop"), mcfg, 10)
+
+
+def test_optimizer_cli_flag_lands_in_train_base():
+    import argparse
+
+    from irp_tpu.cli.model_args import (add_train_recipe_args,
+                                        build_train_base)
+
+    p = argparse.ArgumentParser()
+    add_train_recipe_args(p)
+    assert build_train_base(p.parse_args([])).optimizer == "adam"
+    base = build_train_base(p.parse_args(["--optimizer", "sgd"]))
+    assert base.optimizer == "sgd"
+
+
 def test_frozen_params_get_zero_updates_and_no_moments():
     mcfg = ModelConfig(depth=18, num_classes=2)
     tcfg = TrainConfig(learning_rate=1e-2, weight_decay=1e-3, batch_size=8,
