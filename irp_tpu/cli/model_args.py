@@ -100,6 +100,13 @@ def add_train_recipe_args(parser) -> None:
                              "(standard for vit/convnext); 'sgd' = "
                              "momentum 0.9. All share the OneCycle "
                              "schedule and searched lr/wd")
+    parser.add_argument("--schedule",
+                        choices=("onecycle", "cosine", "constant"),
+                        default="onecycle",
+                        help="lr curve: 'onecycle' = the reference's "
+                             "OneCycleLR(cos) with warmup leg; 'cosine' "
+                             "= plain CosineAnnealingLR decay; "
+                             "'constant' = fixed lr")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="gradient accumulation: run each optimizer "
                              "step as N sequential micro-batches inside "
@@ -120,4 +127,5 @@ def build_train_base(args):
                        label_smoothing=args.label_smoothing,
                        ema_decay=args.ema_decay,
                        grad_accum_steps=args.grad_accum,
-                       optimizer=args.optimizer)
+                       optimizer=args.optimizer,
+                       schedule=args.schedule)

@@ -172,6 +172,12 @@ class TrainConfig:
     # OneCycle schedule, the trainable-param masking, and runtime-injected
     # lr/wd (zero recompiles across a sweep's trials).
     optimizer: str = "adam"  # adam | adamw | sgd
+    # Learning-rate curve.  'onecycle' = the reference's OneCycleLR with
+    # cosine annealing and torch's default warmup leg (train.py:115-121);
+    # 'cosine' = plain CosineAnnealingLR(eta_min=0) decay from the peak;
+    # 'constant' = fixed lr.  Orthogonal to scheduler_step, which decides
+    # whether the curve advances per batch or per epoch.
+    schedule: str = "onecycle"  # onecycle | cosine | constant
     batch_size: int = 32
     max_epochs: int = 15
     patience: int = 4

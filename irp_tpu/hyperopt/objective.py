@@ -171,6 +171,8 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
             recipe["grad_accum_steps"] = ctx.train_base.grad_accum_steps
         if ctx.train_base.optimizer != "adam":
             recipe["optimizer"] = ctx.train_base.optimizer
+        if ctx.train_base.schedule != "onecycle":
+            recipe["schedule"] = ctx.train_base.schedule
         run.log_params({**hp, **recipe, "k_folds": k})
 
         fold_accuracies: List[float] = []

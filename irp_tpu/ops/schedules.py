@@ -31,5 +31,13 @@ def onecycle_cosine(max_lr: float, total_steps: int,
     )
 
 
+def cosine_anneal(max_lr: float, total_steps: int):
+    """torch CosineAnnealingLR(eta_min=0) over ``total_steps``:
+    lr_t = max_lr * (1 + cos(pi * t / T)) / 2 — the plain cosine decay
+    without OneCycle's warmup leg."""
+    return optax.cosine_decay_schedule(
+        init_value=max_lr, decay_steps=max(int(total_steps), 1), alpha=0.0)
+
+
 def constant(lr: float):
     return optax.constant_schedule(lr)

@@ -178,6 +178,8 @@ def train_final_model(study, train_cached: CachedDataset,
             recipe["grad_accum_steps"] = train_cfg.grad_accum_steps
         if train_cfg.optimizer != "adam":
             recipe["optimizer"] = train_cfg.optimizer
+        if train_cfg.schedule != "onecycle":
+            recipe["schedule"] = train_cfg.schedule
         run.log_params({**bp, **recipe, "final_epochs": final_epochs,
                         "mode": mode,
                         "bn_stats_mode": model_cfg.bn_stats_mode})

@@ -101,13 +101,20 @@ def trainable_mask(params, model_cfg: ModelConfig):
     return jax.tree_util.tree_map_with_path(mask_for, params)
 
 
-def _onecycle_shape(total_steps: int, steps_per_epoch: int,
+def _schedule_shape(schedule: str, total_steps: int, steps_per_epoch: int,
                     scheduler_step: str):
-    """Normalized OneCycle (peak 1.0); 'epoch' mode advances the shape once
-    per epoch (reference final.py:330 quirk)."""
-    from irp_tpu.ops.schedules import onecycle_cosine
+    """Normalized lr curve (peak 1.0) for TrainConfig.schedule; 'epoch'
+    mode advances the shape once per epoch (reference final.py:330
+    quirk)."""
+    from irp_tpu.ops.schedules import (constant, cosine_anneal,
+                                       onecycle_cosine)
 
-    base = onecycle_cosine(1.0, total_steps)
+    if schedule == "cosine":
+        base = cosine_anneal(1.0, total_steps)
+    elif schedule == "constant":
+        base = constant(1.0)
+    else:  # 'onecycle' — the reference's OneCycleLR(cos) curve
+        base = onecycle_cosine(1.0, total_steps)
     if scheduler_step == "epoch":
         return lambda count: base(count // max(steps_per_epoch, 1))
     return base
@@ -176,15 +183,20 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig,
     if opt_name not in ("adam", "adamw", "sgd"):
         raise ValueError(f"TrainConfig.optimizer must be one of "
                          f"'adam'/'adamw'/'sgd', got {opt_name!r}")
+    sched_name = train_cfg.schedule
+    if sched_name not in ("onecycle", "cosine", "constant"):
+        raise ValueError(f"TrainConfig.schedule must be one of "
+                         f"'onecycle'/'cosine'/'constant', "
+                         f"got {sched_name!r}")
     # family/num_layers matter: the memoized mask closure resolves
     # trainable stages per family ('layer4' auto-maps for ViT).
     key = (total, steps_per_epoch, train_cfg.scheduler_step,
            model_cfg.trainable_stages, model_cfg.head_only,
            model_cfg.family, model_cfg.num_layers,
-           float(train_cfg.ema_decay), opt_name)
+           float(train_cfg.ema_decay), opt_name, sched_name)
     tx = _TX_MEMO.get(key)
     if tx is None:
-        shape = _onecycle_shape(total, steps_per_epoch,
+        shape = _schedule_shape(sched_name, total, steps_per_epoch,
                                 train_cfg.scheduler_step)
 
         def factory(learning_rate, weight_decay):

@@ -116,6 +116,45 @@ def test_matches_torch_adamw_decoupled():
             ps, lr=lr, weight_decay=wd))
 
 
+def test_cosine_schedule_matches_torch_closed_form():
+    """schedule='cosine' must follow CosineAnnealingLR(eta_min=0):
+    lr_t = max_lr * (1 + cos(pi*t/T)) / 2."""
+    from irp_tpu.ops.schedules import cosine_anneal
+
+    T = 40
+    s = cosine_anneal(1.0, T)
+    for t in (0, 1, 7, 20, 39, 40):
+        want = 0.5 * (1.0 + np.cos(np.pi * min(t, T) / T))
+        np.testing.assert_allclose(float(s(t)), want, atol=1e-6)
+
+
+def test_schedule_choice_applies_to_updates():
+    """'constant' must hold the step size flat where 'onecycle' warms
+    up from peak/25 — verified through the actual masked chain."""
+    import optax
+
+    mcfg = ModelConfig(depth=18, num_classes=2)
+    lr, wd = 1e-2, 0.0
+    g = {"head_dense1": {"kernel": jnp.ones((2, 2), jnp.float32)}}
+    params = _tiny_params()
+
+    def first_update(schedule):
+        tcfg = TrainConfig(learning_rate=lr, weight_decay=wd, batch_size=8,
+                           max_epochs=1, optimizer="sgd",
+                           schedule=schedule)
+        tx = make_optimizer(tcfg, mcfg, steps_per_epoch=100)
+        st = set_opt_hyperparams(tx.init(params), lr, wd)
+        up, _ = tx.update(g, st, params)
+        return float(jnp.abs(up["head_dense1"]["kernel"]).max())
+
+    const = first_update("constant")
+    onecycle = first_update("onecycle")
+    np.testing.assert_allclose(const, lr, rtol=1e-6)  # flat at peak
+    np.testing.assert_allclose(onecycle, lr / 25.0, rtol=1e-5)  # warmup leg
+    with pytest.raises(ValueError, match="schedule"):
+        first_update("linear")
+
+
 def test_optimizer_choice_is_structural_and_validated():
     mcfg = ModelConfig(depth=18, num_classes=2)
 
