@@ -58,6 +58,11 @@ def main(argv=None):
                    help="run trials concurrently on per-worker TPU "
                         "sub-meshes (default: sequential)")
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--search-optimizer", action="store_true",
+                   help="add the optimizer family (adam/adamw/sgd) as an "
+                        "8th categorical search dimension on top of the "
+                        "reference's 7-dim space (a fixed --optimizer "
+                        "then only sets the non-searched default)")
     p.add_argument("--no-hbm-pool", action="store_true",
                    help="disable the sweep-wide HBM fold pool (one "
                         "device-resident train cache, on-device fold "
@@ -110,6 +115,17 @@ def main(argv=None):
     if args.quick:
         from irp_tpu.hyperopt.objective import quick_space
         space_fn = quick_space
+    if args.search_optimizer:
+        from irp_tpu.hyperopt.objective import suggest_space
+        base_space = space_fn or suggest_space
+
+        def space_fn(trial, _base=base_space):
+            hp = _base(trial)
+            # extra TrainConfig-named dims flow into each trial's config
+            # (objective_kfold's extra-key overlay)
+            hp["optimizer"] = trial.suggest_categorical(
+                "optimizer", ["adam", "adamw", "sgd"])
+            return hp
 
     ctx = HyperoptContext(cached=cached, info=info, hcfg=hcfg,
                           model_base=model_base,

@@ -115,6 +115,16 @@ class HyperoptContext:
         return self._fold_cache[key]
 
 
+# The reference's 7 searched keys (hyperopt.py:45-51): consumed
+# explicitly by objective_kfold; anything ELSE a space_fn suggests that
+# names a TrainConfig field is overlaid onto the trial's TrainConfig.
+_REFERENCE_SPACE_KEYS = frozenset((
+    "learning_rate", "batch_size", "weight_decay", "dropout_rate",
+    "augmentation_intensity", "patience", "max_epochs"))
+_TRAIN_FIELD_NAMES = frozenset(
+    f.name for f in dataclasses.fields(TrainConfig))
+
+
 def suggest_space(trial: Trial) -> Dict:
     """The reference's 7-dim space (hyperopt.py:45-51)."""
     return {
@@ -260,6 +270,16 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
                 train_samples_per_epoch=ctx.train_samples_per_epoch,
                 eval_samples=ctx.eval_samples,
                 seed=ctx.hcfg.seed)
+            # Any EXTRA search dimension whose name is a TrainConfig
+            # field (optimizer, schedule, ema_decay, mixup_alpha, ...)
+            # flows straight into the trial's config — a custom space_fn
+            # can search any recipe knob just by suggesting it.  The
+            # reference-space keys above stay authoritative.
+            extra = {k: v for k, v in hp.items()
+                     if k not in _REFERENCE_SPACE_KEYS
+                     and k in _TRAIN_FIELD_NAMES}
+            if extra:
+                train_cfg = dataclasses.replace(train_cfg, **extra)
 
             def on_epoch_end(epoch, val_acc, _fold=fold_idx):
                 epoch_accuracies.setdefault(epoch, []).append(val_acc)

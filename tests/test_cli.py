@@ -153,6 +153,40 @@ def test_run_hyperopt_then_final_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_hyperopt_search_optimizer_cli(tmp_path):
+    """--search-optimizer adds the optimizer family as an 8th searched
+    dimension: every trial stores an 'optimizer' param from the
+    adam/adamw/sgd set (and the extra-key overlay threads it into the
+    trial's TrainConfig — a bad value would crash the trial)."""
+    import run_hyperopt
+    from irp_tpu.hyperopt.storage import SQLiteStorage
+    from tests.synth import make_synthetic_shards
+
+    data = tmp_path / "wds"
+    data.mkdir()
+    make_synthetic_shards(str(data), num_classes=2, per_class=10,
+                          samples_per_shard=10, seed=0, size=224,
+                          prefix="train")
+    storage = str(tmp_path / "study.db")
+    rc = run_hyperopt.main(
+        ["--data-dir", str(data), "--storage", storage,
+         "--cache-dir", str(tmp_path / "cache"), "--depth", "18",
+         "--image-size", "64", "--cpu", "--quick",
+         "--n-trials", "2", "--k-folds", "2", "--search-optimizer"])
+    assert rc == 0
+    st = SQLiteStorage(storage)
+    study_id = st.find_study("animals10_kfold")  # the CLI default name
+    assert study_id is not None
+    trials = st.get_trials(study_id)
+    done = [t for t in trials if t.state == "COMPLETE"]
+    assert done, [t.state for t in trials]
+    for t in done:
+        assert t.params.get("optimizer") in ("adam", "adamw", "sgd"), \
+            t.params
+    st.close()
+
+
+@pytest.mark.slow
 def test_run_curation_cli_outliers(fake_kaggle, tmp_path):
     """The --outliers stage end-to-end through the CLI: HBM-scanned
     feature extraction (with streaming fallback), UMAP embedding, LOF

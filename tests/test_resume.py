@@ -102,6 +102,28 @@ def test_checkpoint_roundtrip_includes_opt_state(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_sgd_opt_state(tmp_path):
+    """A non-default optimizer family's opt_state structure (SGD's
+    momentum TraceState instead of Adam's two moment trees) must
+    round-trip through Orbax the same way — resume is config-driven, so
+    restoring into a fresh state built from the SAME TrainConfig must be
+    exact."""
+    cached, info = _tiny_dataset(n=16)
+    import dataclasses
+    one = dataclasses.replace(CFGS["train"], max_epochs=1,
+                              optimizer="sgd", schedule="cosine")
+    res = fit(cached, None, info, CFGS["model"], one, mode="hbm")
+    ckpt_dir = str(tmp_path / "ck_sgd")
+    save_checkpoint(ckpt_dir, res.state, step=0)
+    fresh = fit(cached, None, info, CFGS["model"],
+                dataclasses.replace(one, max_epochs=0), mode="hbm")
+    restored = restore_checkpoint(latest_checkpoint(ckpt_dir)[0],
+                                  fresh.state)
+    for a, b in zip(jax.tree_util.tree_leaves(res.state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_latest_checkpoint_empty(tmp_path):
     assert latest_checkpoint(str(tmp_path)) == (None, 0)
     assert latest_checkpoint(str(tmp_path / "missing")) == (None, 0)
