@@ -98,8 +98,8 @@ def add_train_recipe_args(parser) -> None:
                              "parity with coupled L2 (the reference's, "
                              "model.py:57-58); 'adamw' = decoupled decay "
                              "(standard for vit/convnext); 'sgd' = "
-                             "momentum 0.9. All share the OneCycle "
-                             "schedule and searched lr/wd")
+                             "momentum 0.9. Composes with --schedule; "
+                             "lr/wd come from the search")
     parser.add_argument("--schedule",
                         choices=("onecycle", "cosine", "constant"),
                         default="onecycle",

@@ -154,16 +154,10 @@ def main(argv=None):
     if args.tta and args.weights.lower().endswith(".irpx"):
         # bake-time property: fine when the artifact already flip-
         # averages (a no-op), a clean error when it does not
-        from irp_tpu.export import read_export_meta
-        try:
-            baked_tta = bool(read_export_meta(args.weights).get("tta"))
-        except ValueError as e:  # unreadable / non-irpx artifact
-            print(f"error: {e}", file=sys.stderr)
-            return 2
-        if not baked_tta:
-            print("error: this .irpx was exported without TTA; an .irpx "
-                  "program bakes TTA at export time — re-export from the "
-                  ".npz/.pth weights with --tta --export", file=sys.stderr)
+        from irp_tpu.export import tta_preflight_error
+        err = tta_preflight_error(args.weights, "--tta --export")
+        if err:
+            print(f"error: {err}", file=sys.stderr)
             return 2
     predictor = load_predictor(args.weights, class_names=class_names,
                                batch_size=args.batch_size, mesh=mesh,

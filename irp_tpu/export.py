@@ -210,6 +210,27 @@ def read_export_meta(path: str) -> dict:
     return meta
 
 
+def tta_preflight_error(path: str, reexport_hint: str) -> Optional[str]:
+    """None when the ``.irpx`` at ``path`` bakes TTA, else a printable
+    one-line error (unreadable artifact, or exported without TTA).
+
+    The shared CLI preflight for ``--tta`` on an artifact: cheap (reads
+    only meta.json — no program deserialization) and exception-free, so
+    a typo'd path degrades to a clean message instead of a traceback.
+    """
+    try:
+        baked = bool(read_export_meta(path).get("tta"))
+    except (ValueError, OSError) as e:
+        # ValueError = read_export_meta's own bad-zip/bad-meta wrapping;
+        # OSError covers a missing/unreadable path (FileNotFoundError)
+        return str(e)
+    if not baked:
+        return ("this .irpx was exported without TTA; an .irpx program "
+                "bakes TTA at export time — re-export from the .npz/.pth "
+                f"weights with {reexport_hint}")
+    return None
+
+
 def load_exported_predictor(path: str,
                             class_names: Optional[Sequence[str]] = None):
     """Rebuild a servable :class:`~irp_tpu.infer.Predictor` from ``.irpx``.

@@ -183,7 +183,10 @@ def objective_kfold(trial: Trial, ctx: HyperoptContext) -> float:
             recipe["optimizer"] = ctx.train_base.optimizer
         if ctx.train_base.schedule != "onecycle":
             recipe["schedule"] = ctx.train_base.schedule
-        run.log_params({**hp, **recipe, "k_folds": k})
+        # hp AFTER recipe: a searched dimension (e.g. --search-optimizer)
+        # must win over the sweep-wide base value in the trial's log —
+        # the extra-key overlay below applies hp to the real config too
+        run.log_params({**recipe, **hp, "k_folds": k})
 
         fold_accuracies: List[float] = []
         epoch_accuracies: Dict[int, List[float]] = {}

@@ -702,19 +702,22 @@ def load_predictor(weights_path: str,
                 "export time (export a predictor built with "
                 "pad_buckets=...); load-time buckets need the live "
                 "weights (.npz/.pth)")
-        pred = load_exported_predictor(weights_path,
-                                       class_names=class_names)
         # tta is a bake-time property of an .irpx: the loaded predictor's
         # .tta reflects the artifact's metadata.  Requesting it at load
         # time is fine when the artifact already bakes it (a no-op), and
         # an error when it does not (TTA cannot be added to a compiled
-        # program).
-        if tta and not pred.tta:
-            raise ValueError(
-                "this .irpx was exported without TTA; an .irpx program "
-                "bakes TTA at export time — re-export from the .npz/.pth "
-                "weights with a predictor built with tta=True")
-        return pred
+        # program).  Checked against the metadata BEFORE deserializing
+        # any program — a guaranteed error must not pay the load.
+        if tta:
+            from irp_tpu.export import read_export_meta
+            if not bool(read_export_meta(weights_path).get("tta")):
+                raise ValueError(
+                    "this .irpx was exported without TTA; an .irpx "
+                    "program bakes TTA at export time — re-export from "
+                    "the .npz/.pth weights with a predictor built with "
+                    "tta=True")
+        return load_exported_predictor(weights_path,
+                                       class_names=class_names)
     if ext == ".npz":
         from irp_tpu.train.checkpoint import load_weights_npz
         params, batch_stats, meta = load_weights_npz(weights_path,

@@ -582,9 +582,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if predictor.tta:
                 # the explain program is single-view; a TTA predictor's
-                # reported scores must come from its own (flip-averaged)
-                # forward, with the overlay pinned to the reported class
-                probs = predictor.predict_probs(images)
+                # reported scores must come from the flip-averaged
+                # forward (small-batch scorer riding on the GradCAM
+                # snapshot), with the overlay pinned to the reported
+                # class
+                probs = gc.tta_scorer.predict_probs(images)
                 cls = (np.argmax(probs, axis=1).astype(np.int32)
                        if explain_cls is None
                        else np.full((images.shape[0],), explain_cls,
@@ -711,6 +713,22 @@ class InferenceServer(ThreadingHTTPServer):
                 else:
                     self._gradcam = GradCAM(p,
                                             batch_size=min(8, p.batch_size))
+                # TTA scores for /explain come from the flip-averaged
+                # forward; a live model gets a SMALL-batch clone sharing
+                # the served weights so an interactive request doesn't
+                # pad to the bulk /predict batch (~batch x the device
+                # work).  An exported artifact keeps its baked forward
+                # (batch shape fixed at export).  Attached to the
+                # GradCAM snapshot so a concurrent reload can never
+                # pair two different models' programs.
+                scorer = p
+                if p.tta and getattr(p.model, "apply", None) is not None:
+                    from irp_tpu.infer import make_predictor
+                    scorer = make_predictor(
+                        {"params": p.params, "batch_stats": p.batch_stats},
+                        cfg=p.model.config, class_names=p.class_names,
+                        batch_size=min(8, p.batch_size), tta=True)
+                self._gradcam.tta_scorer = scorer
             return self._gradcam
 
     def reload_weights(self, weights_path: str) -> dict:

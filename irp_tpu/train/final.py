@@ -162,6 +162,20 @@ def train_final_model(study, train_cached: CachedDataset,
         eval_samples=None,
         scheduler_step="epoch",  # final.py:330 quirk kept as spec
         seed=42)
+    # Extra searched dimensions that name TrainConfig fields (the
+    # hyperopt extra-key overlay, e.g. --search-optimizer) must carry
+    # into the final run too — the best trial won WITH that knob.
+    # Fields the final stage pins above (epoch budget, scheduler mode,
+    # seed, ...) stay pinned.
+    _final_pinned = {"learning_rate", "weight_decay", "batch_size",
+                     "max_epochs", "patience", "aug_intensity",
+                     "train_samples_per_epoch", "eval_samples",
+                     "scheduler_step", "seed"}
+    _train_fields = {f.name for f in dataclasses.fields(type(train_cfg))}
+    extra = {k: v for k, v in bp.items()
+             if k in _train_fields and k not in _final_pinned}
+    if extra:
+        train_cfg = dataclasses.replace(train_cfg, **extra)
 
     tracking.set_experiment(experiment)
     with tracking.start_run(run_name="final_model_full_training") as run:

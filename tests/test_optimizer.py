@@ -171,6 +171,55 @@ def test_optimizer_choice_is_structural_and_validated():
         make_optimizer(cfg("rmsprop"), mcfg, 10)
 
 
+def test_final_trainer_adopts_searched_recipe_keys(monkeypatch, tmp_path):
+    """A searched optimizer/schedule (the --search-optimizer overlay)
+    must carry into the final run's TrainConfig — the best trial won
+    WITH that knob — while final-stage-pinned fields (seed, scheduler
+    mode, epoch budget) stay pinned."""
+    import types
+
+    import irp_tpu.train.final as final_mod
+    from irp_tpu import tracking
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+
+    class _FakeTrial:
+        params = {"max_epochs": 4, "learning_rate": 1e-3,
+                  "weight_decay": 1e-4, "batch_size": 8,
+                  "dropout_rate": 0.1, "augmentation_intensity": "low",
+                  "patience": 3, "optimizer": "sgd", "schedule": "cosine",
+                  "seed": 7}  # pinned: must NOT override the final seed
+        user_attrs = {}
+
+    class _FakeStudy:
+        best_trial = _FakeTrial()
+
+        def get_trials(self):
+            return [self.best_trial]
+
+    class _Stop(RuntimeError):
+        pass
+
+    captured = []
+
+    def fake_fit(train_cached, val_cached, info_, model_cfg, train_cfg,
+                 **kw):
+        captured.append(train_cfg)
+        raise _Stop()
+
+    monkeypatch.setattr(final_mod, "fit", fake_fit)
+    info = types.SimpleNamespace(num_classes=3)
+    with pytest.raises(_Stop):
+        final_mod.train_final_model(
+            _FakeStudy(), None, None, info,
+            experiment="opt_recipe_final", verbose=False)
+    (cfg,) = captured
+    assert cfg.optimizer == "sgd"
+    assert cfg.schedule == "cosine"
+    assert cfg.seed == 42           # final-stage pin wins
+    assert cfg.scheduler_step == "epoch"
+
+
 def test_optimizer_cli_flag_lands_in_train_base():
     import argparse
 
