@@ -159,10 +159,15 @@ def main(argv=None):
         if err:
             print(f"error: {err}", file=sys.stderr)
             return 2
-    predictor = load_predictor(args.weights, class_names=class_names,
-                               batch_size=args.batch_size, mesh=mesh,
-                               image_size=args.image_size,
-                               pad_buckets=export_buckets, tta=args.tta)
+    try:
+        predictor = load_predictor(args.weights, class_names=class_names,
+                                   batch_size=args.batch_size, mesh=mesh,
+                                   image_size=args.image_size,
+                                   pad_buckets=export_buckets,
+                                   tta=args.tta)
+    except ValueError as e:  # wrong-length --classes, bad format, ...
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if args.batch_size != predictor.batch_size:
             print(f"note: the artifact fixes batch_size="
@@ -184,11 +189,8 @@ def main(argv=None):
                   "re-export with gradcam=True (the default), or point "
                   "--weights at the .npz/.pth artifact", file=sys.stderr)
             return 2
-    if (class_names is not None
-            and len(class_names) != predictor.num_classes):
-        print(f"error: {len(class_names)} class names for a "
-              f"{predictor.num_classes}-class model", file=sys.stderr)
-        return 2
+    # (a wrong-length --classes list is rejected at Predictor
+    # construction — the except ValueError above reports it)
 
     if args.export:
         if getattr(predictor.model, "apply", None) is None:

@@ -157,10 +157,14 @@ def main(argv=None):
         if err:
             print(f"error: {err}", file=sys.stderr)
             return 2
-    predictor = load_predictor(args.weights, class_names=class_names,
-                               batch_size=args.batch_size, mesh=mesh,
-                               image_size=args.image_size,
-                               pad_buckets=pad_buckets, tta=args.tta)
+    try:
+        predictor = load_predictor(args.weights, class_names=class_names,
+                                   batch_size=args.batch_size, mesh=mesh,
+                                   image_size=args.image_size,
+                                   pad_buckets=pad_buckets, tta=args.tta)
+    except ValueError as e:  # wrong-length --classes, bad format, ...
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if predictor.source_size is not None:  # an .irpx: shapes are baked
         if predictor.source_size != 256:
             print(f"error: this artifact accepts only "

@@ -42,12 +42,17 @@ class ServingError(RuntimeError):
 
 
 def _encode_image(image: ImageLike) -> bytes:
-    """Any accepted image form -> encoded bytes for the wire."""
-    import numpy as np
+    """Any accepted image form -> encoded bytes for the wire.
 
+    numpy/PIL are imported only inside the ndarray branch — the module's
+    stdlib-only promise must hold for bytes/path inputs on hosts without
+    either installed.
+    """
     if isinstance(image, bytes):
         return image
-    if isinstance(image, np.ndarray):
+    if type(image).__module__.partition(".")[0] == "numpy":
+        import numpy as np
+
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(f"expected an (H,W,3) uint8 array, "
                              f"got shape {image.shape}")
@@ -153,10 +158,11 @@ class ServingClient:
         (``label`` / ``label_name`` / ``topk`` entries), one per input,
         in input order.  A single image still returns a 1-list.
         """
-        import numpy as np
-
+        # duck-typed ndarray check — numpy must stay optional for
+        # bytes/path callers (the stdlib-only promise)
         single = isinstance(images, (bytes, str, os.PathLike)) or (
-            isinstance(images, np.ndarray) and images.ndim == 3)
+            type(images).__module__.partition(".")[0] == "numpy"
+            and getattr(images, "ndim", None) == 3)
         try:
             batch = [images] if single else list(images)
         except TypeError:

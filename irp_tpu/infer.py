@@ -281,6 +281,15 @@ class Predictor:
 
         from irp_tpu.ops.preprocess import eval_preprocess_batch
 
+        if self.class_names is not None:
+            # validated HERE, once, for every construction path (CLIs,
+            # make_predictor, the .irpx loader, replicas) — a wrong-length
+            # list would otherwise surface later as an IndexError or as
+            # silent mislabeling
+            n = self.model.config.num_classes
+            if len(self.class_names) != n:
+                raise ValueError(f"{len(self.class_names)} class names "
+                                 f"for a {n}-class model")
         if self.pad_buckets is not None:
             buckets = tuple(sorted(int(b) for b in self.pad_buckets))
             if (not buckets or buckets[0] < 1
@@ -707,15 +716,14 @@ def load_predictor(weights_path: str,
         # time is fine when the artifact already bakes it (a no-op), and
         # an error when it does not (TTA cannot be added to a compiled
         # program).  Checked against the metadata BEFORE deserializing
-        # any program — a guaranteed error must not pay the load.
+        # any program — a guaranteed error must not pay the load; the
+        # check itself is the CLIs' shared preflight.
         if tta:
-            from irp_tpu.export import read_export_meta
-            if not bool(read_export_meta(weights_path).get("tta")):
-                raise ValueError(
-                    "this .irpx was exported without TTA; an .irpx "
-                    "program bakes TTA at export time — re-export from "
-                    "the .npz/.pth weights with a predictor built with "
-                    "tta=True")
+            from irp_tpu.export import tta_preflight_error
+            err = tta_preflight_error(
+                weights_path, "a predictor built with tta=True")
+            if err:
+                raise ValueError(err)
         return load_exported_predictor(weights_path,
                                        class_names=class_names)
     if ext == ".npz":

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 import queue
 import threading
 import time
@@ -71,8 +72,13 @@ def latency_percentiles(latencies_ms, qs=(0.50, 0.90, 0.99),
     lat = sorted(latencies_ms)
     if not lat:
         return None
+    # nearest-rank: ceil(q*n) as a 1-based rank -> index ceil(q*n)-1
+    # (int(q*n) would sit one rank HIGH whenever q*n is integral — e.g.
+    # the p50 of [1..10] is 5, not 6)
+    n = len(lat)
     return {f"p{int(q * 100)}": round(
-        lat[min(int(q * len(lat)), len(lat) - 1)], digits) for q in qs}
+        lat[min(max(math.ceil(q * n) - 1, 0), n - 1)], digits)
+        for q in qs}
 
 
 class ServerOverloadedError(RuntimeError):
@@ -183,6 +189,12 @@ class MicroBatcher:
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:
+        # A stopped batcher must not silently "restart" into a dead one:
+        # stop() leaves _stopped set (submit rejects, _run loops exit
+        # immediately), so a stop->start cycle would spawn threads that
+        # drain and die while start() reports success.  Re-arm the flag
+        # here so start() genuinely means "serving again".
+        self._stopped = False
         # one dispatch thread per replica index: slot i always routes to
         # predictors[i], so a respawn after a dead/lost thread restores
         # THAT replica's service instead of doubling up another's
@@ -384,12 +396,39 @@ def _decode_request_blobs(blobs: List[bytes], decoder: str) -> np.ndarray:
     return decode_blobs(blobs, decoder=decoder)
 
 
+def _topk_rows(probs: np.ndarray, names, topk: int) -> List[dict]:
+    """Per-image {label, label_name, topk: [...]} dicts from (N, K)
+    softmax — the one formatting implementation shared by /predict and
+    /explain (identical clamping/name-fallback/rounding on both paths)."""
+    k = max(1, min(topk, probs.shape[1]))
+    idx = np.argsort(-probs, axis=1)[:, :k]
+    rows = []
+    for i in range(probs.shape[0]):
+        label = int(idx[i, 0])
+        rows.append({
+            "label": label,
+            "label_name": (names[label] if names else str(label)),
+            "topk": [{"label": int(j),
+                      "name": (names[int(j)] if names else str(int(j))),
+                      "prob": round(float(probs[i, j]), 6)}
+                     for j in idx[i]]})
+    return rows
+
+
 class _Handler(BaseHTTPRequestHandler):
     """Routes /healthz, /stats, /predict onto the owning server's batcher."""
 
     server: "InferenceServer"
     # Batched HTTP/1.1 clients reuse connections; keep default protocol
     protocol_version = "HTTP/1.1"
+    # Socket read/write timeout (BaseHTTPRequestHandler applies it via
+    # connection.settimeout).  Without it a client that sends a short
+    # body under a large Content-Length — or parks an idle keep-alive
+    # connection — pins a handler thread FOREVER, and none of the other
+    # overload bounds (queue depth, explain slots, request size) cover
+    # it.  Server-side compute (e.g. a minutes-scale /reload compile)
+    # is unaffected: the timeout only arms blocking socket ops.
+    timeout = 120.0
 
     def log_message(self, fmt, *args):  # quiet by default
         if self.server.verbose:
@@ -413,7 +452,13 @@ class _Handler(BaseHTTPRequestHandler):
                 "generation": self.server._generation,
                 "weights": self.server._weights_path,
                 "replicas": len(self.server.batcher.predictors),
-                "model": {"depth": cfg.depth,
+                # depth only means anything for the resnet family
+                # (ModelConfig.depth is a resnet-only field; reporting
+                # its dataclass default for vit/efficientnet/convnext
+                # would mis-identify the served model)
+                "model": {"family": cfg.family,
+                          **({"depth": cfg.depth}
+                             if cfg.family == "resnet" else {}),
                           "num_classes": cfg.num_classes,
                           "image_size": cfg.image_size,
                           "class_names": list(self.server.class_names or [])
@@ -534,18 +579,7 @@ class _Handler(BaseHTTPRequestHandler):
         names = (pending.predictor.class_names
                  if pending.predictor is not None
                  else self.server.class_names)
-        k = max(1, min(topk, probs.shape[1]))
-        idx = np.argsort(-probs, axis=1)[:, :k]
-        preds = []
-        for i in range(probs.shape[0]):
-            label = int(idx[i, 0])
-            preds.append({
-                "label": label,
-                "label_name": (names[label] if names else str(label)),
-                "topk": [{"label": int(j),
-                          "name": (names[int(j)] if names else str(int(j))),
-                          "prob": round(float(probs[i, j]), 6)}
-                         for j in idx[i]]})
+        preds = _topk_rows(probs, names, topk)
         self._send_json(200, {
             "predictions": preds, "n": len(preds),
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
@@ -611,25 +645,15 @@ class _Handler(BaseHTTPRequestHandler):
             probs = softmax_np(logits)
         crop = predictor.model.config.image_size
         cropped = center_crop_u8(images, crop)
-        names = predictor.class_names
-        k = max(1, min(topk, num_classes))
-        idx = np.argsort(-probs, axis=1)[:, :k]
-        out = []
-        for i in range(probs.shape[0]):
-            label = int(idx[i, 0])
+        out = _topk_rows(probs, predictor.class_names, topk)
+        for i, row in enumerate(out):
             buf = iomod.BytesIO()
             Image.fromarray(overlay_cam(cropped[i], cams[i])).save(
                 buf, "PNG")
-            out.append({
-                "label": label,
-                "label_name": (names[label] if names else str(label)),
-                "explained_class": (explain_cls if explain_cls is not None
-                                    else label),
-                "topk": [{"label": int(j),
-                          "name": (names[int(j)] if names else str(int(j))),
-                          "prob": round(float(probs[i, j]), 6)}
-                         for j in idx[i]],
-                "cam_png_b64": base64.b64encode(buf.getvalue()).decode()})
+            row["explained_class"] = (explain_cls
+                                      if explain_cls is not None
+                                      else row["label"])
+            row["cam_png_b64"] = base64.b64encode(buf.getvalue()).decode()
         self._send_json(200, {
             "explanations": out, "n": len(out),
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
@@ -873,10 +897,14 @@ class InferenceServer(ThreadingHTTPServer):
                "seconds since daemon start")
         metric("irp_reloads_total", "counter", self._generation,
                "successful hot weight reloads")
+        # depth is resnet-only (ModelConfig.depth); other families would
+        # otherwise scrape the meaningless dataclass default
+        depth_label = (f'depth="{cfg.depth}",' if cfg.family == "resnet"
+                       else "")
         metric("irp_model_info", "gauge", 1,
                "model identity (labels carry the values)",
-               labels=(f'{{depth="{cfg.depth}"'
-                       f',num_classes="{cfg.num_classes}"'
+               labels=(f'{{family="{cfg.family}",{depth_label}'
+                       f'num_classes="{cfg.num_classes}"'
                        f',image_size="{cfg.image_size}"}}'))
         return "\n".join(lines) + "\n"
 

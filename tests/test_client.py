@@ -112,8 +112,8 @@ def test_metrics_endpoint(client, images64):
     assert f"irp_requests_total {stats['requests']}" in text
     assert f"irp_images_total {stats['images']}" in text
     assert "irp_latency_ms_p50 " in text
-    assert 'irp_model_info{depth="18",num_classes="3",image_size="32"} 1' \
-        in text
+    assert ('irp_model_info{family="resnet",depth="18",num_classes="3"'
+            ',image_size="32"} 1') in text
     # every exposed series carries HELP + TYPE (scrapers warn otherwise)
     names = {line.split("{")[0].split()[0] for line in text.splitlines()
              if line and not line.startswith("#")}

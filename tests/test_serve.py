@@ -114,6 +114,38 @@ def test_microbatcher_caps_batch_at_max(predictor):
     assert stats["mean_batch_fill"] <= 4.0
 
 
+def test_latency_percentiles_nearest_rank():
+    """Nearest-rank semantics: ceil(q*n) as a 1-based rank — integral
+    q*n must NOT shift one rank high (the p50 of 1..10 is 5, not 6)."""
+    from irp_tpu.serve import latency_percentiles
+
+    assert latency_percentiles(list(range(1, 11)))["p50"] == 5
+    assert latency_percentiles([1.0, 1000.0])["p50"] == 1.0
+    got = latency_percentiles([7.0])
+    assert got["p50"] == got["p99"] == 7.0
+    assert latency_percentiles([]) is None
+
+
+def test_microbatcher_restart_after_stop(predictor):
+    """start() after stop() must genuinely serve again (the stopped
+    flag is re-armed), not spawn threads that immediately exit and
+    leave every submit rejected."""
+    from irp_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predictor, max_batch=4, window_ms=1.0)
+    img = np.random.default_rng(2).integers(0, 256, (1, 48, 48, 3),
+                                            dtype=np.uint8)
+    b.submit_async(img).wait(60.0)
+    b.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        b.submit_async(img).wait(5.0)  # drained-rejected, surfaces here
+    b.start()
+    probs = b.submit_async(img).wait(60.0)
+    np.testing.assert_allclose(probs, predictor.predict_probs(img),
+                               rtol=1e-5, atol=1e-6)
+    b.stop()
+
+
 def test_microbatcher_surfaces_errors(predictor):
     """A failing forward rejects the waiters instead of hanging them."""
     from irp_tpu.serve import MicroBatcher
@@ -206,8 +238,8 @@ def test_microbatcher_stop_rejects_queued_waiters(predictor):
 def test_healthz_reports_model_card(server):
     status, body = _get_json(server, "/healthz")
     assert status == 200 and body["status"] == "ok"
-    assert body["model"] == {"depth": 18, "num_classes": 3,
-                             "image_size": 32,
+    assert body["model"] == {"family": "resnet", "depth": 18,
+                             "num_classes": 3, "image_size": 32,
                              "class_names": ["cat", "dog", "fox"]}
 
 
