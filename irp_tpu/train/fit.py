@@ -90,6 +90,12 @@ def resolve_fit_mode(train_cached, val_cached, train_cfg, mesh,
     px = train_cached.images.shape[1]
     per_img = px * px * 3  # uint8
     need = -(-len(train_cached) // n_data) * per_img
+    if getattr(train_cfg, "hbm_reshuffle", True):
+        # the per-epoch on-device reshuffle is a gather: its output is a
+        # SECOND dataset-sized buffer live while the input is still being
+        # read, so the transient peak is ~2x the train shard — sizing
+        # only the steady state would pick 'hbm' and then OOM at epoch 1
+        need *= 2
     if val_cached is not None and len(val_cached) > 0:
         n_eval = len(val_cached)
         if train_cfg.eval_samples is not None:
@@ -261,6 +267,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
     elif mode == "stream":
         cw_key = tuple(cw.tolist()) if cw is not None else None
         data_shards = dict(mesh.shape).get("data", 1)
+        # same augmentation-arithmetic choice as the hbm step: bf16 runs
+        # augment in bf16 on BOTH paths, so mode='auto' resolving to
+        # 'stream' on a big corpus keeps identical aug numerics/traffic
+        aug_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
         step = _memo_step(
             "stream",
             lambda: make_train_step(
@@ -270,9 +280,10 @@ def fit(train_cached: CachedDataset, val_cached: Optional[CachedDataset],
                 mixup_alpha=train_cfg.mixup_alpha,
                 cutmix_alpha=train_cfg.cutmix_alpha,
                 data_shards=data_shards,
-                grad_accum=train_cfg.grad_accum_steps),
+                grad_accum=train_cfg.grad_accum_steps,
+                aug_work_dtype=aug_dtype),
             (cw_key, train_cfg.aug_intensity, model_cfg.image_size,
-             str(dtype), train_cfg.label_smoothing,
+             str(dtype), train_cfg.label_smoothing, str(aug_dtype),
              train_cfg.mixup_alpha, train_cfg.cutmix_alpha, data_shards,
              train_cfg.grad_accum_steps))
 

@@ -142,12 +142,15 @@ def _accum_loss_and_updates(state, x, labels, dropout_key, class_weights,
 
     if class_weights is None:
         denom_a = jnp.asarray(B, jnp.float32)
-        denom_b = denom_a
     else:
         wmap = jnp.asarray(class_weights, jnp.float32)
         denom_a = jnp.maximum(jnp.sum(wmap[labels]), 1e-8)
-        denom_b = None if labels_b is None else \
-            jnp.maximum(jnp.sum(wmap[labels_b]), 1e-8)
+    # labels_b is always a shard-local PERMUTATION of labels (the
+    # reversed-batch pairing, ops/mix._partner), so its weight sum equals
+    # denom_a exactly — no second gather+reduce needed.  If a future
+    # pairing ever samples partners instead of permuting, compute
+    # denom_b from labels_b again.
+    denom_b = denom_a
 
     def loss_fn(params, stats, xc, lac, lbc, chunk_key):
         logits, mutated = state.apply_fn(
@@ -226,13 +229,17 @@ def make_train_step(class_weights=None, intensity: str = "medium",
                     out_size: int = 224, compute_dtype=jnp.bfloat16,
                     label_smoothing: float = 0.0,
                     mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0,
-                    data_shards: int = 1, grad_accum: int = 1):
+                    data_shards: int = 1, grad_accum: int = 1,
+                    aug_work_dtype=None):
     """Streaming-batch train step: (state, images_u8, labels, key).
 
     ``data_shards``: the mesh's 'data'-axis size when the incoming batch
     is sharded over it (fit's stream mode) — keeps mixup/CutMix pairing
     shard-local (no collective-permute).  ``grad_accum``: sequential
-    micro-batch accumulation inside the step (_accum_loss_and_updates)."""
+    micro-batch accumulation inside the step (_accum_loss_and_updates).
+    ``aug_work_dtype``: augmentation arithmetic dtype (None -> f32);
+    fit() passes the same choice it hands the hbm step so mode='auto'
+    cannot silently change augmentation numerics between the two paths."""
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
@@ -240,7 +247,8 @@ def make_train_step(class_weights=None, intensity: str = "medium",
     def train_step(state, images_u8, labels, key, dropout_rate=None):
         x, y_a, y_b, lam, dropout_key = _augment_mix(
             images_u8, labels, key, intensity, out_size, compute_dtype,
-            mixup_alpha, cutmix_alpha, data_shards=data_shards)
+            mixup_alpha, cutmix_alpha, work_dtype=aug_work_dtype,
+            data_shards=data_shards)
         return _loss_and_updates(state, x, y_a, dropout_key, cw,
                                  label_smoothing, dropout_rate,
                                  labels_b=y_b, lam=lam,

@@ -124,17 +124,24 @@ def test_resolve_fit_mode(cached):
                        max_epochs=1, patience=1, aug_intensity="low",
                        eval_samples=64, seed=0)
     per_img = SIZE * SIZE * 3
-    # per device: ceil(160/8)=20 train imgs + eval 64/8=8 wrap-padded to
-    # the per-device batch (16/8=2) -> 8
-    need = (20 + 8) * per_img
+    # per device: ceil(160/8)=20 train imgs (x2: the per-epoch on-device
+    # reshuffle gather transiently holds a second train-shard copy) +
+    # eval 64/8=8 wrap-padded to the per-device batch (16/8=2) -> 8
+    need = (2 * 20 + 8) * per_img
     assert resolve_fit_mode(data, data, tcfg, mesh,
                             budget_bytes=int(need / 0.6) + per_img) == "hbm"
     assert resolve_fit_mode(data, data, tcfg, mesh,
                             budget_bytes=int(need / 0.6) - per_img) \
         == "stream"
+    # reshuffle off: no transient second copy to budget for
+    import dataclasses
+    no_shuf = dataclasses.replace(tcfg, hbm_reshuffle=False)
+    assert resolve_fit_mode(data, data, no_shuf, mesh,
+                            budget_bytes=int((20 + 8) * per_img / 0.6)
+                            + per_img) == "hbm"
     # no eval set: only the train residency counts
     assert resolve_fit_mode(data, None, tcfg, mesh,
-                            budget_bytes=int(20 * per_img / 0.6) + 1) \
+                            budget_bytes=int(2 * 20 * per_img / 0.6) + 1) \
         == "hbm"
     # unreported budget (CPU): status-quo fast path
     assert resolve_fit_mode(data, data, tcfg, mesh) in ("hbm", "stream")
